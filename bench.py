@@ -1,0 +1,133 @@
+"""Benchmark: single-chip SALZ compression throughput vs the scalar reference.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "compress_MB_s_per_chip", "value": ..., "unit": "MB/s",
+   "vs_baseline": ...}
+
+vs_baseline = device throughput / single-thread native C++ reference-equivalent
+codec throughput on this host (the reference publishes no numbers — BASELINE.md
+— so the scalar implementation of the same format is the baseline).
+
+Protocol (mirrors scripts/bench.sh semantics): fixed corpus, block size =
+level-5 default (1 MiB), conformance asserted (device stream byte-identical to
+the oracle stream, roundtrip decode equal).
+
+Environment knobs: SALZ_BENCH_MB (corpus size, default 32), SALZ_BENCH_LEVEL
+(default 5), SALZ_BENCH_BATCH (blocks per device step, default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_corpus(total_bytes: int) -> bytes:
+    """Deterministic text-like corpus (no external files in this image)."""
+    rng = np.random.default_rng(1234)
+    words = [
+        b"the ", b"quick ", b"brown ", b"fox ", b"jumps ", b"over ", b"lazy ",
+        b"dog ", b"suffix ", b"array ", b"compression ", b"factor ",
+        b"lempel ", b"ziv ", b"parse ", b"entropy ", b"a ", b"of ", b"and ",
+        b"to ", b"in ", b"is ", b"\n",
+    ]
+    lens = np.array([len(w) for w in words])
+    picks = rng.integers(0, len(words), size=int(total_bytes / lens.mean()) + 64)
+    out = bytearray()
+    for p in picks:
+        out += words[int(p)]
+        if len(out) >= total_bytes:
+            break
+    return bytes(out[:total_bytes])
+
+
+def main() -> None:
+    mb = int(os.environ.get("SALZ_BENCH_MB", "32"))
+    level = int(os.environ.get("SALZ_BENCH_LEVEL", "5"))
+    batch = int(os.environ.get("SALZ_BENCH_BATCH", "4"))
+
+    from salz_tpu import format as fmt
+    from salz_tpu import native
+    from salz_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
+    import jax
+    import jax.numpy as jnp
+
+    from salz_tpu.parallel.sharding import encode_blocks_batch, pad_blocks
+
+    cap = fmt.block_size_for_level(level)
+    corpus = make_corpus(mb << 20)
+    blocks = [corpus[i : i + cap] for i in range(0, len(corpus), cap)]
+    if len(blocks[-1]) < 8:
+        blocks.pop()
+    log(f"corpus: {len(corpus)} bytes, {len(blocks)} blocks of <= {cap}")
+    log(f"devices: {jax.devices()}")
+
+    # ---- native single-thread baseline on a subset
+    sub = blocks[: max(1, min(4, len(blocks)))]
+    t0 = time.perf_counter()
+    native_segs = [native.encode_block(b) for b in sub]
+    native_dt = time.perf_counter() - t0
+    native_mbps = sum(len(b) for b in sub) / native_dt / 1e6
+    log(f"native baseline: {native_mbps:.2f} MB/s")
+
+    # ---- device throughput
+    padded, lens = pad_blocks(blocks, cap)
+    nbatches = (len(blocks) + batch - 1) // batch
+    pad_batches = nbatches * batch - len(blocks)
+    if pad_batches:
+        padded = np.concatenate([padded, np.tile(padded[-1:], (pad_batches, 1))])
+        lens = np.concatenate([lens, np.tile(lens[-1:], pad_batches)])
+    padded = padded.reshape(nbatches, batch, cap)
+    lens = lens.reshape(nbatches, batch)
+
+    def run_all():
+        outs_lens = []
+        for i in range(nbatches):
+            o, ol, sl = encode_blocks_batch(
+                jnp.asarray(padded[i]), jnp.asarray(lens[i]), cap=cap
+            )
+            outs_lens.append((o, ol))
+        jax.block_until_ready(outs_lens[-1][0])
+        return outs_lens
+
+    log("compiling + warmup...")
+    t0 = time.perf_counter()
+    results = run_all()
+    log(f"first pass (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    results = run_all()
+    device_dt = time.perf_counter() - t0
+    total = sum(len(b) for b in blocks) + (pad_batches * len(blocks[-1]) if pad_batches else 0)
+    device_mbps = total / device_dt / 1e6
+    log(f"device: {device_mbps:.2f} MB/s ({device_dt:.2f}s for {total/1e6:.0f} MB)")
+
+    # ---- conformance: first block byte-identical + roundtrip
+    out0 = np.asarray(results[0][0])[0]
+    len0 = int(np.asarray(results[0][1])[0])
+    seg0 = bytes(out0[:len0])
+    assert seg0 == native_segs[0], "device stream != reference stream"
+    assert native.decode_block(seg0, cap) == blocks[0], "roundtrip failed"
+    log("conformance: byte-identical + roundtrip OK")
+
+    print(json.dumps({
+        "metric": "compress_MB_s_per_chip",
+        "value": round(device_mbps, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(device_mbps / native_mbps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+"""On-device SALZ segment decoder (sequential lax.while_loop).
+
+Token decoding is inherently serial per block (each token's position depends
+on all previous lengths — salz.c:1170-1192), so the device decoder is a
+conformance/roundtrip-on-TPU facility, not a throughput path; the fast scalar
+decoder is the native C++ one (salz_tpu/native). Batch-parallel decoding of
+many blocks still vectorizes via jax.vmap over this function.
+
+The 64-bit reference bit reader is modeled as a pair of uint32 words (x64 mode
+stays off). Bounds are tracked like the reference; malformed input yields
+status != 0 rather than out-of-bounds access (all indices clamped).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from salz_tpu.format import (
+    FACTOR_LENGTH_MIN,
+    FACTOR_OFFSET_MIN,
+    STREAM_TYPE_PLAIN,
+    STREAM_TYPE_SALZ,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("seg_cap", "out_cap"))
+def decode_block_device(segment: jax.Array, seg_len: jax.Array, *, seg_cap: int, out_cap: int):
+    """Decode one segment (uint8[seg_cap], valid prefix seg_len).
+
+    Returns (out uint8[out_cap], out_len int32, status int32); status 0 = ok,
+    1 = malformed stream / capacity exceeded.
+    """
+    seg = segment
+    idx = jnp.arange(out_cap, dtype=jnp.int32)
+
+    hdr = (
+        seg[0].astype(jnp.uint32)
+        | (seg[1].astype(jnp.uint32) << 8)
+        | (seg[2].astype(jnp.uint32) << 16)
+        | (seg[3].astype(jnp.uint32) << 24)
+    )
+    stream_type = (hdr >> 24).astype(jnp.int32)
+    stream_len = (hdr & 0xFFFFFF).astype(jnp.int32)
+    hdr_bad = (
+        (seg_len < 4)
+        | (stream_type >= 2)
+        | (stream_len > seg_len - 4)
+    )
+
+    # ---- PLAIN path: shifted copy.
+    plain_ok = stream_len <= out_cap
+    plain_out = jnp.where(
+        idx < stream_len, seg[jnp.clip(idx + 4, 0, seg_cap - 1)], 0
+    ).astype(jnp.uint8)
+
+    # ---- SALZ path: sequential token loop.
+    # State: (src_pos, dst_pos, bits_hi, bits_lo, bits_avail, out, fail)
+    def queue_ok(src_pos):
+        return src_pos + 8 <= stream_len
+
+    def queue(state):
+        src_pos, out, fail = state
+        base = jnp.clip(src_pos + 4, 0, seg_cap - 8)
+        b = [seg[base + k].astype(jnp.uint32) for k in range(8)]
+        # LE u64 -> (hi, lo) with MSB-first semantics: hi holds bytes 7..4.
+        hi = b[7] << 24 | b[6] << 16 | b[5] << 8 | b[4]
+        lo = b[3] << 24 | b[2] << 16 | b[1] << 8 | b[0]
+        return hi, lo, src_pos + 8
+
+    def shift_left(hi, lo, k):
+        # (hi, lo) <<= k for 0 <= k <= 32 (logical, within the 64-bit pair).
+        k = k.astype(jnp.uint32)
+        hi2 = jnp.where(
+            k == 0,
+            hi,
+            jnp.where(k == 32, lo, (hi << k) | (lo >> (32 - k))),
+        )
+        lo2 = jnp.where(k == 0, lo, jnp.where(k == 32, 0, lo << k))
+        return hi2, lo2
+
+    def read_bits(carry, count):
+        """Read `count` (traced, 1..4) bits MSB-first, reference semantics."""
+        src_pos, hi, lo, avail, fail = carry
+
+        def do_queue(args):
+            src_pos, hi, lo, avail, fail = args
+            fail = fail | ~queue_ok(src_pos)
+            nhi, nlo, nsp = queue((src_pos, None, None))
+            return nsp, nhi, nlo, jnp.int32(64), fail
+
+        src_pos, hi, lo, avail, fail = jax.lax.cond(
+            avail == 0, do_queue, lambda a: a, (src_pos, hi, lo, avail, fail)
+        )
+
+        def take(hi, lo, avail, k):
+            res = jnp.where(
+                k == 0, jnp.uint32(0), hi >> (32 - k).astype(jnp.uint32)
+            )
+            hi, lo = shift_left(hi, lo, k)
+            return res, hi, lo, avail - k
+
+        # counts here are <= 4 so a split spans at most one refill; take
+        # min(count, avail) then the remainder after a refill.
+        take1 = jnp.minimum(count, avail)
+        part1, hi, lo, avail = take(hi, lo, avail, take1)
+        rem = count - take1
+
+        def refill_and_take(args):
+            src_pos, hi, lo, avail, fail, part1 = args
+            fail = fail | ~queue_ok(src_pos)
+            nhi, nlo, nsp = queue((src_pos, None, None))
+            part2, nhi, nlo, navail = take(nhi, nlo, jnp.int32(64), rem)
+            return nsp, nhi, nlo, navail, fail, (part1 << rem.astype(jnp.uint32)) | part2
+
+        def no_refill(args):
+            src_pos, hi, lo, avail, fail, part1 = args
+            return src_pos, hi, lo, avail, fail, part1
+
+        src_pos, hi, lo, avail, fail, res = jax.lax.cond(
+            rem > 0, refill_and_take, no_refill,
+            (src_pos, hi, lo, avail, fail, part1),
+        )
+        return res, (src_pos, hi, lo, avail, fail)
+
+    def read_unary(carry):
+        src_pos, hi, lo, avail, fail = carry
+
+        def do_queue(args):
+            src_pos, hi, lo, avail, fail, acc = args
+            fail = fail | ~queue_ok(src_pos)
+            nhi, nlo, nsp = queue((src_pos, None, None))
+            return nsp, nhi, nlo, jnp.int32(64), fail, acc
+
+        src_pos, hi, lo, avail, fail, acc = jax.lax.cond(
+            avail == 0, do_queue, lambda a: a,
+            (src_pos, hi, lo, avail, fail, jnp.int32(0)),
+        )
+
+        def word_empty(state):
+            src_pos, hi, lo, avail, fail, acc = state
+            return ((hi | lo) == 0) & ~fail
+
+        def consume_word(state):
+            src_pos, hi, lo, avail, fail, acc = state
+            acc = acc + avail
+            fail = fail | ~queue_ok(src_pos)
+            nhi, nlo, nsp = queue((src_pos, None, None))
+            return nsp, nhi, nlo, jnp.int32(64), fail, acc
+
+        src_pos, hi, lo, avail, fail, acc = jax.lax.while_loop(
+            word_empty, consume_word, (src_pos, hi, lo, avail, fail, acc)
+        )
+        # Count leading zeros of the 64-bit pair (nonzero by loop invariant).
+        clz64 = jnp.where(
+            hi == 0, 32 + jax.lax.clz(lo), jax.lax.clz(hi)
+        ).astype(jnp.int32)
+        shift = clz64 + 1
+        # shift can exceed 32; do it in two steps.
+        s1 = jnp.minimum(shift, 32)
+        hi, lo = shift_left(hi, lo, s1)
+        hi, lo = shift_left(hi, lo, shift - s1)
+        avail = avail - shift
+        acc = acc + clz64
+        return acc, (src_pos, hi, lo, avail, fail)
+
+    def token_loop(state):
+        src_pos, dst_pos, hi, lo, avail, out, fail = state
+        bitcarry = (src_pos, hi, lo, avail, fail)
+        token, bitcarry = read_bits(bitcarry, jnp.int32(1))
+        src_pos, hi, lo, avail, fail = bitcarry
+
+        def literal(args):
+            src_pos, dst_pos, hi, lo, avail, out, fail = args
+            fail = fail | (src_pos >= stream_len) | (dst_pos >= out_cap)
+            val = seg[jnp.clip(src_pos + 4, 0, seg_cap - 1)]
+            out = out.at[jnp.clip(dst_pos, 0, out_cap - 1)].set(
+                jnp.where(fail, out[jnp.clip(dst_pos, 0, out_cap - 1)], val)
+            )
+            return src_pos + 1, dst_pos + 1, hi, lo, avail, out, fail
+
+        def factor(args):
+            src_pos, dst_pos, hi, lo, avail, out, fail = args
+            carry = (src_pos, hi, lo, avail, fail)
+            # vnibble
+            nib, carry = read_bits(carry, jnp.int32(4))
+
+            def vn_cond(s):
+                carry, var, nib = s
+                return (nib < 0x8) & ~carry[4]
+
+            def vn_body(s):
+                carry, var, nib = s
+                nib2, carry = read_bits(carry, jnp.int32(4))
+                var = ((var + 1) << 3) | (nib2 & 0x7)
+                return carry, var, nib2
+
+            carry, var, _ = jax.lax.while_loop(
+                vn_cond, vn_body, (carry, nib & 0x7, nib)
+            )
+            src_pos, hi, lo, avail, fail = carry
+            fail = fail | (src_pos >= stream_len)
+            fixed = seg[jnp.clip(src_pos + 4, 0, seg_cap - 1)].astype(jnp.uint32)
+            src_pos = src_pos + 1
+            factor_offs = ((var << 8) | fixed).astype(jnp.int32) + FACTOR_OFFSET_MIN
+            carry = (src_pos, hi, lo, avail, fail)
+            unary, carry = read_unary(carry)
+            low3, carry = read_bits(carry, jnp.int32(3))
+            src_pos, hi, lo, avail, fail = carry
+            factor_len = ((unary.astype(jnp.int32) << 3) | low3.astype(jnp.int32)) + FACTOR_LENGTH_MIN
+
+            fail = fail | (factor_offs > dst_pos) | (dst_pos + factor_len > out_cap)
+
+            def copy_body(i, out):
+                src_i = jnp.clip(dst_pos - factor_offs + i, 0, out_cap - 1)
+                dst_i = jnp.clip(dst_pos + i, 0, out_cap - 1)
+                return out.at[dst_i].set(out[src_i])
+
+            out = jax.lax.cond(
+                fail,
+                lambda o: o,
+                lambda o: jax.lax.fori_loop(0, factor_len, copy_body, o),
+                out,
+            )
+            return src_pos, dst_pos + factor_len, hi, lo, avail, out, fail
+
+        return jax.lax.cond(
+            token == 0, literal, factor,
+            (src_pos, dst_pos, hi, lo, avail, out, fail),
+        )
+
+    def loop_cond(state):
+        src_pos, dst_pos, hi, lo, avail, out, fail = state
+        return (src_pos < stream_len) & ~fail
+
+    out0 = jnp.zeros(out_cap, jnp.uint8)
+    init = (
+        jnp.int32(0), jnp.int32(0), jnp.uint32(0), jnp.uint32(0),
+        jnp.int32(0), out0, hdr_bad,
+    )
+    src_pos, dst_pos, _, _, _, salz_out, salz_fail = jax.lax.while_loop(
+        loop_cond, token_loop, init
+    )
+
+    is_plain = stream_type == STREAM_TYPE_PLAIN
+    out = jnp.where(is_plain, plain_out, salz_out)
+    out_len = jnp.where(is_plain, stream_len, dst_pos)
+    status = jnp.where(
+        hdr_bad | jnp.where(is_plain, ~plain_ok, salz_fail), 1, 0
+    ).astype(jnp.int32)
+    return out, out_len, status

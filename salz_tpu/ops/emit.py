@@ -1,0 +1,241 @@
+"""Parallel token emission: the interleaved bit/byte stream as scatter ops.
+
+The reference writes the stream with a sequential stateful writer
+(salz.c:258-457,664-775). FORMAT.md §1.3 derives the closed form this module
+implements: because every token contributes exactly one byte and a known
+number of bits, all byte positions, bit-word ("slot") positions and slot
+contents follow from prefix sums over per-token sizes — the whole stream is
+produced by three vectorized scatters:
+
+  1. token bytes at 4 + t + 8*ceil((bits_before + w1_t)/64)
+  2. slot j's 8 bytes at 4 + 8(j-1) + #{t : bits_before_t + w1_t <= 64(j-1)}
+  3. nonzero bit chunks OR-scattered into a uint32 word array
+
+Equivalence with the scalar writer is pinned by tests/test_emit.py over random
+token streams and by full-stream equality with the oracle.
+
+Everything is static-shape; `n` (text length) and the token count are dynamic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from salz_tpu.format import TAIL_RESERVE, VNIBBLE_THRESHOLDS
+
+
+def _vnibble_size_vec(v):
+    m = jnp.ones(v.shape, jnp.int32)
+    for thr in VNIBBLE_THRESHOLDS[:-1]:
+        m = m + (v >= jnp.int32(min(thr, 2**31 - 1))).astype(jnp.int32)
+    return m
+
+
+def _vnibble_pattern_vec(v, m):
+    """MSB-first nibble pattern (int32; max 6 nibbles = 24 bits for offsets).
+
+    Digit form (FORMAT.md §1.5): base-8 digits of v - bias(m), terminator |= 8.
+    """
+    # bias(m) = thresholds[m-2] for m >= 2, 0 for m = 1.
+    bias = jnp.zeros(v.shape, jnp.int32)
+    for k in range(2, 8):  # offsets need at most 6 nibbles; margin to 7
+        bias = jnp.where(m == k, jnp.int32(VNIBBLE_THRESHOLDS[k - 2]), bias)
+    r = v - bias
+    pattern = jnp.zeros(v.shape, jnp.int32)
+    for d in range(7):  # digit index from least significant
+        digit = (r >> (3 * d)) & 0x7
+        # Terminator 0x8 goes on the last-emitted nibble = the least
+        # significant digit (d == 0), per FORMAT.md §1.5.
+        digit = jnp.where(jnp.int32(d) == 0, digit | 0x8, digit)
+        pattern = jnp.where(jnp.int32(d) < m, pattern | (digit << (4 * d)), pattern)
+    return pattern
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def token_starts(length: jax.Array, n: jax.Array, *, cap: int) -> jax.Array:
+    """bool[cap]: which text positions start a token of the chosen parse.
+
+    The parse is the chain 0 -> len[0] -> ... -> n. Computed by pointer
+    doubling: repeatedly scatter reachability through the successor map while
+    squaring it — log2(cap) rounds of one gather + one scatter each.
+    """
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    nxt = jnp.where(idx < n, idx + jnp.maximum(length, 1), cap)
+    nxt = jnp.clip(nxt, 0, cap)
+    reach = jnp.zeros(cap + 1, jnp.int32).at[0].set((n > 0).astype(jnp.int32))
+    nxt_ext = jnp.concatenate([nxt, jnp.full((1,), cap, jnp.int32)])
+    rounds = max(1, cap.bit_length())
+    for _ in range(rounds):
+        reach = reach.at[nxt_ext].max(reach)
+        nxt_ext = nxt_ext[nxt_ext]
+    return (reach[:cap] > 0) & (idx < n)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def emit_stream(
+    block: jax.Array,  # uint8[cap] padded block (text + 8 tail bytes)
+    block_len: jax.Array,  # dynamic total block length (n + 8)
+    offs: jax.Array,  # int32[cap] chosen factor offsets (text positions)
+    length: jax.Array,  # int32[cap] chosen factor lengths (1 = literal)
+    *,
+    cap: int,
+):
+    """Produce the complete segment: header + interleaved stream + fallback.
+
+    Returns (out, out_len, overflow_bits) where out is uint8[out_cap] with
+    out_cap = encoded_len_max(cap) + 16; out_len is the segment length after
+    the PLAIN-fallback decision; overflow_bits reports the raw SALZ layout
+    size so callers can reproduce the reference's capacity-abort semantics.
+    """
+    n = block_len - TAIL_RESERVE
+    idx = jnp.arange(cap, dtype=jnp.int32)
+
+    is_start = token_starts(length, n, cap=cap)
+
+    # ---- compact tokens (text tokens first, then the 8 forced tail literals)
+    tok_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    num_text_tokens = jnp.sum(is_start.astype(jnp.int32))
+    K = num_text_tokens + TAIL_RESERVE  # total tokens
+
+    tcap = cap + TAIL_RESERVE  # static max token count
+    tok_pos = jnp.full(tcap, cap, jnp.int32)
+    scatter_to = jnp.where(is_start, tok_id, tcap)  # masked -> dropped
+    tok_pos = tok_pos.at[scatter_to].set(idx, mode="drop")
+    # Tail literals: token ids K-8 .. K-1, positions n .. n+7.
+    tail_ids = num_text_tokens + jnp.arange(TAIL_RESERVE, dtype=jnp.int32)
+    tok_pos = tok_pos.at[tail_ids].set(n + jnp.arange(TAIL_RESERVE, dtype=jnp.int32))
+
+    tids = jnp.arange(tcap, dtype=jnp.int32)
+    tok_valid = tids < K
+    is_tail = (tids >= num_text_tokens) & tok_valid
+    pos_c = jnp.clip(tok_pos, 0, cap - 1)
+    tok_len = jnp.where(is_tail, 1, jnp.where(tok_valid, length[pos_c], 1))
+    tok_offs = jnp.where(tok_valid & ~is_tail, offs[pos_c], 0)
+    is_factor = tok_valid & (tok_len > 1)
+
+    # ---- per-token sizes and bit patterns
+    offs_val = jnp.where(is_factor, (tok_offs - 1) >> 8, 0)
+    m = _vnibble_size_vec(offs_val)
+    vpat = _vnibble_pattern_vec(offs_val, m)
+    lv = jnp.where(is_factor, tok_len - 3, 0)
+    z = lv >> 3  # GR3 unary zero count
+    w1 = jnp.where(is_factor, 1 + 4 * m, 1)  # bits before the token byte
+    bits_t = jnp.where(is_factor, w1 + z + 4, 1)
+    bits_t = jnp.where(tok_valid, bits_t, 0)
+
+    bits_before = jnp.cumsum(bits_t) - bits_t  # exclusive prefix sum
+    total_bits = jnp.sum(bits_t)
+    num_slots = (total_bits + 63) >> 6
+
+    # ---- byte scatter
+    byte_val = jnp.where(
+        is_factor,
+        ((tok_offs - 1) & 0xFF).astype(jnp.uint8),
+        block[jnp.clip(pos_c, 0, cap - 1)],
+    )
+    byte_val = jnp.where(is_tail, block[jnp.clip(tok_pos, 0, cap - 1)], byte_val)
+    byte_bits = bits_before + w1  # bits written before this token's byte
+    byte_pos = 4 + tids + 8 * ((byte_bits + 63) >> 6)
+
+    out_cap = 4 + cap + ((cap + 63) // 64) * 8 + 16  # encoded_len_max(cap)+16
+    out = jnp.zeros(out_cap, jnp.uint8)
+    out = out.at[jnp.where(tok_valid, byte_pos, out_cap)].set(
+        byte_val, mode="drop"
+    )
+
+    # ---- bit chunks -> uint32 word array (word w holds bits [32w, 32w+32),
+    # MSB-first within the word)
+    nwords = 2 * ((9 * cap + 63) // 64) + 2  # >= 2*ceil(total_bits/64)
+    words = jnp.zeros(nwords, jnp.uint32)
+
+    def scatter_chunk(words, value, width, bitpos, valid):
+        """OR value (width bits, MSB-aligned to bitpos) into the word array."""
+        value = value.astype(jnp.uint32)
+        w = bitpos >> 5
+        r = (bitpos & 31).astype(jnp.uint32)
+        space = 32 - r  # bits available in word w at offset r
+        wide = width.astype(jnp.uint32)
+        # Contribution to word w: top part of value (or all of it).
+        shift_left = jnp.where(wide <= space, space - wide, 0)
+        shift_right = jnp.where(wide > space, wide - space, 0)
+        contrib0 = jnp.where(
+            wide > space, value >> shift_right, value << shift_left
+        )
+        # Contribution to word w+1: the remaining low bits, MSB-aligned.
+        rem = jnp.where(wide > space, wide - space, 0)
+        low = value & ((jnp.uint32(1) << rem) - 1)
+        contrib1 = jnp.where(rem > 0, low << (32 - rem), 0)
+        wi = jnp.where(valid, w, nwords)
+        words = words.at[wi].add(contrib0, mode="drop")
+        words = words.at[jnp.where(valid & (rem > 0), w + 1, nwords)].add(
+            contrib1, mode="drop"
+        )
+        return words
+
+    # Chunk A: token bit + vnibble pattern (factors) / the 0 token bit
+    # (literals contribute no set bits; scatter value 0 with width 1).
+    chunkA_val = jnp.where(is_factor, (1 << (4 * m)) | vpat, 0)
+    chunkA_w = jnp.where(is_factor, 1 + 4 * m, 1)
+    words = scatter_chunk(words, chunkA_val, chunkA_w, bits_before, tok_valid)
+    # Chunk B: GR3 stop bit + 3 low bits, after z zeros (factors only).
+    chunkB_val = (1 << 3) | (lv & 0x7)
+    chunkB_pos = bits_before + w1 + z
+    words = scatter_chunk(
+        words, chunkB_val, jnp.full(chunkB_val.shape, 4, jnp.int32),
+        chunkB_pos, is_factor,
+    )
+
+    # ---- slot scatter: slot j (0-based) holds global bits [64j, 64j+64)
+    scap = (9 * cap + 8 * TAIL_RESERVE) // 64 + 2  # static max slot count
+    j = jnp.arange(scap, dtype=jnp.int32)
+    slot_valid = j < num_slots
+    # bytes before slot j+1's claim = #{t : byte_bits_t <= 64j}; byte_bits is
+    # nondecreasing over valid tokens -> binary search on the compacted array.
+    sorted_byte_bits = jnp.where(tok_valid, byte_bits, jnp.int32(2**30))
+    bytes_before = jnp.searchsorted(
+        sorted_byte_bits, 64 * j, side="right"
+    ).astype(jnp.int32)
+    slot_pos = 4 + 8 * j + bytes_before
+
+    hi = words[jnp.clip(2 * j, 0, nwords - 1)]
+    lo = words[jnp.clip(2 * j + 1, 0, nwords - 1)]
+    # LE u64 whose MSB is the earliest bit: bytes [lo&255, .., lo>>24, hi&255,
+    # .., hi>>24] reversed per FORMAT.md §1.3.
+    slot_bytes = jnp.stack(
+        [
+            (lo >> 0) & 0xFF, (lo >> 8) & 0xFF, (lo >> 16) & 0xFF, (lo >> 24) & 0xFF,
+            (hi >> 0) & 0xFF, (hi >> 8) & 0xFF, (hi >> 16) & 0xFF, (hi >> 24) & 0xFF,
+        ],
+        axis=1,
+    ).astype(jnp.uint8)
+    slot_dst = slot_pos[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
+    slot_dst = jnp.where(slot_valid[:, None], slot_dst, out_cap)
+    out = out.at[slot_dst.reshape(-1)].set(slot_bytes.reshape(-1), mode="drop")
+
+    salz_len = 4 + K + 8 * num_slots
+
+    # ---- PLAIN fallback (salz.c:755-767): strictly larger than plain + 4.
+    use_plain = salz_len > block_len + 4
+    # Build the PLAIN layout: header + raw block bytes.
+    plain_out = jnp.zeros(out_cap, jnp.uint8)
+    plain_out = plain_out.at[4 + idx].set(block, mode="drop")
+    plain_out = jnp.where(
+        jnp.arange(out_cap) < block_len + 4, plain_out, 0
+    ).astype(jnp.uint8)
+
+    out = jnp.where(use_plain, plain_out, out)
+    out_len = jnp.where(use_plain, block_len + 4, salz_len)
+
+    # ---- stream header
+    stream_type = jnp.where(use_plain, 0, 1).astype(jnp.uint32)
+    payload = (out_len - 4).astype(jnp.uint32) & 0xFFFFFF
+    hdr = (stream_type << 24) | payload
+    hdr_bytes = jnp.stack(
+        [(hdr >> 0) & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF, (hdr >> 24) & 0xFF]
+    ).astype(jnp.uint8)
+    out = out.at[0:4].set(hdr_bytes)
+
+    return out, out_len, salz_len

@@ -1,0 +1,98 @@
+"""The jitted per-block SALZ encoder: SA -> ANSV -> LCP -> parse -> emit.
+
+This is the TPU replacement for the reference's salz_encode_safe pipeline
+(salz.c:777-823): one traced program per block-capacity, fully static shapes,
+dynamic valid length. Batch across blocks with jax.vmap; shard the batch axis
+over a mesh with salz_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salz_tpu import format as fmt
+from salz_tpu.format import TAIL_RESERVE
+from salz_tpu.ops.ansv import psv_nsv
+from salz_tpu.ops.emit import emit_stream
+from salz_tpu.ops.lcp import pair_lcp
+from salz_tpu.ops.parse import optimal_parse_chunked, optimal_parse_sequential
+from salz_tpu.ops.suffix_array import suffix_array_with_ranks
+
+
+def out_capacity(cap: int) -> int:
+    """Static output buffer size for a block capacity (emit_stream contract)."""
+    return 4 + cap + ((cap + 63) // 64) * 8 + 16
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "parse"))
+def encode_block_device(
+    block: jax.Array, block_len: jax.Array, *, cap: int, parse: str = "chunked"
+):
+    """Encode one padded block (uint8[cap], valid prefix block_len >= 8).
+
+    Returns (out, out_len, salz_len):
+      out: uint8[out_capacity(cap)] — the segment (header included), zero padded.
+      out_len: int32 — segment length after the PLAIN-fallback decision.
+      salz_len: int32 — raw SALZ layout size; callers reproduce the reference's
+        capacity-abort by erroring when salz_len > dst_cap (FORMAT.md §1.2).
+    """
+    n = block_len - TAIL_RESERVE
+    idx = jnp.arange(cap, dtype=jnp.int32)
+
+    sa, ckpt, _ = suffix_array_with_ranks(block, n, cap=cap)
+    psv_pos, nsv_pos = psv_nsv(sa, n, cap=cap)
+
+    psv_len = pair_lcp(ckpt, n, psv_pos, idx, cap=cap)
+    nsv_len = pair_lcp(ckpt, n, nsv_pos, idx, cap=cap)
+    psv_offs = idx - psv_pos  # = pos+1 when absent, mirroring salz.c:555
+    nsv_offs = idx - nsv_pos
+
+    if parse == "chunked":
+        chunk = min(512, cap)
+        offs, length, _ = optimal_parse_chunked(
+            psv_offs, psv_len, nsv_offs, nsv_len, n, cap=cap, chunk=chunk
+        )
+    else:
+        offs, length, _ = optimal_parse_sequential(
+            psv_offs, psv_len, nsv_offs, nsv_len, n, cap=cap
+        )
+
+    return emit_stream(block, block_len, offs, length, cap=cap)
+
+
+class BlockEncoder:
+    """Host-side convenience wrapper around the jitted device encoder."""
+
+    def __init__(self, cap: int, parse: str = "chunked"):
+        if cap % 64 != 0:
+            raise ValueError("block capacity must be a multiple of 64")
+        self.cap = cap
+        self.parse = parse
+        from salz_tpu.utils import jaxcache
+
+        jaxcache.enable()  # persistent XLA cache: compile each cap once
+
+    def __call__(self, block: bytes, dst_cap: int | None = None) -> bytes:
+        if len(block) < TAIL_RESERVE:
+            raise ValueError(
+                f"block too short to encode ({len(block)} < 8 bytes)"
+            )
+        if len(block) > self.cap:
+            raise ValueError(f"block exceeds capacity {self.cap}")
+        padded = np.zeros(self.cap, dtype=np.uint8)
+        padded[: len(block)] = np.frombuffer(block, dtype=np.uint8)
+        out, out_len, salz_len = encode_block_device(
+            jnp.asarray(padded),
+            jnp.int32(len(block)),
+            cap=self.cap,
+            parse=self.parse,
+        )
+        if dst_cap is not None and int(salz_len) > dst_cap:
+            # Reference parity: emission overflows the caller's buffer before
+            # the PLAIN fallback is ever evaluated (salz.c:274-275).
+            raise ValueError("encoded stream exceeds destination capacity")
+        return bytes(np.asarray(out)[: int(out_len)])

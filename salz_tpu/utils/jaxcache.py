@@ -1,0 +1,32 @@
+"""Persistent XLA compilation cache setup.
+
+Block-capacity-specialized programs (one per compression level) compile in
+tens of seconds on TPU; caching them on disk makes every CLI invocation after
+the first fast. Enabled automatically by the CLI and benchmarks; tests keep it
+too (harmless).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+_DEFAULT = os.environ.get(
+    "SALZ_JAX_CACHE_DIR", str(pathlib.Path.home() / ".cache" / "salz_tpu" / "jax")
+)
+
+_enabled = False
+
+
+def enable(cache_dir: str | None = None) -> None:
+    global _enabled
+    if _enabled:
+        return
+    import jax
+
+    path = pathlib.Path(cache_dir or _DEFAULT)
+    path.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _enabled = True

@@ -6,12 +6,19 @@ run on a virtual 8-device CPU mesh and must work unchanged on real TPU meshes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image pre-imports jax via sitecustomize with JAX_PLATFORMS=axon (TPU
+# tunnel), so env vars alone are too late; use jax.config to force the test
+# tier onto an 8-device virtual CPU platform (SURVEY.md §4). XLA_FLAGS is
+# still honored because backends initialize lazily.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 import pathlib

@@ -1,0 +1,66 @@
+"""End-to-end device encoder conformance: byte equality with the oracle."""
+
+import numpy as np
+import pytest
+
+from salz_tpu import format as fmt
+from salz_tpu.oracle import pycodec as oc
+from salz_tpu.ops.encoder import BlockEncoder
+from conftest import CORPUS_KINDS, make_corpus
+
+CAP = 1024
+
+
+@pytest.fixture(scope="module")
+def enc_chunked():
+    return BlockEncoder(CAP, parse="chunked")
+
+
+@pytest.fixture(scope="module")
+def enc_sequential():
+    return BlockEncoder(CAP, parse="sequential")
+
+
+@pytest.mark.parametrize("kind", CORPUS_KINDS)
+@pytest.mark.parametrize("n", [8, 9, 64, 500, 1017, 1024])
+def test_device_stream_equals_oracle(enc_chunked, kind, n):
+    data = make_corpus(kind, n, seed=n + 61)
+    assert enc_chunked(data) == oc.encode_block(data)
+
+
+@pytest.mark.parametrize("kind", ["text", "runs", "random"])
+@pytest.mark.parametrize("n", [100, 1024])
+def test_sequential_parse_matches_too(enc_sequential, kind, n):
+    data = make_corpus(kind, n, seed=n + 67)
+    assert enc_sequential(data) == oc.encode_block(data)
+
+
+def test_device_fuzz(enc_chunked):
+    rng = np.random.default_rng(123)
+    for _ in range(25):
+        n = int(rng.integers(8, CAP + 1))
+        kind = CORPUS_KINDS[int(rng.integers(len(CORPUS_KINDS)))]
+        data = make_corpus(kind, n, seed=int(rng.integers(1 << 30)))
+        assert enc_chunked(data) == oc.encode_block(data), (kind, n)
+
+
+def test_device_roundtrip_via_oracle_decoder(enc_chunked):
+    data = make_corpus("repetitive", 1000, seed=5)
+    seg = enc_chunked(data)
+    assert oc.decode_block(seg, dst_cap=len(data)) == data
+
+
+def test_device_capacity_abort(enc_chunked):
+    data = make_corpus("random", CAP, seed=2)
+    seg = oc.encode_block(data)
+    if seg[3] == fmt.STREAM_TYPE_PLAIN:
+        # Find the raw layout size; with a dst_cap below it the wrapper raises.
+        with pytest.raises(ValueError):
+            enc_chunked(data, dst_cap=len(data) - 100)
+
+
+def test_device_rejects_short_blocks(enc_chunked):
+    with pytest.raises(ValueError):
+        enc_chunked(b"abc")
+    with pytest.raises(ValueError):
+        enc_chunked(b"x" * (CAP + 1))
