@@ -40,12 +40,14 @@ def make_corpus(total_bytes: int) -> bytes:
         b"to ", b"in ", b"is ", b"\n",
     ]
     lens = np.array([len(w) for w in words])
-    picks = rng.integers(0, len(words), size=int(total_bytes / lens.mean()) + 64)
+    picks = rng.integers(
+        0, len(words), size=int(total_bytes / lens.mean()) + 64
+    )
     out = bytearray()
     for p in picks:
         out += words[int(p)]
-        if len(out) >= total_bytes:
-            break
+    while len(out) < total_bytes:  # top up if the estimate fell short
+        out += out[: total_bytes - len(out)]
     return bytes(out[:total_bytes])
 
 
