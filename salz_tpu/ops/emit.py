@@ -55,12 +55,14 @@ def _vnibble_pattern_vec(v, m):
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def token_starts(length: jax.Array, n: jax.Array, *, cap: int) -> jax.Array:
+def token_starts_xla(length: jax.Array, n: jax.Array, *, cap: int) -> jax.Array:
     """bool[cap]: which text positions start a token of the chosen parse.
 
     The parse is the chain 0 -> len[0] -> ... -> n. Computed by pointer
     doubling: repeatedly scatter reachability through the successor map while
-    squaring it — log2(cap) rounds of one gather + one scatter each.
+    squaring it — log2(cap) rounds of one gather + one scatter each. This is
+    the backend-generic path; TPU uses the chunked Pallas formulation in
+    salz_tpu/ops/starts.py.
     """
     idx = jnp.arange(cap, dtype=jnp.int32)
     nxt = jnp.where(idx < n, idx + jnp.maximum(length, 1), cap)
@@ -72,6 +74,15 @@ def token_starts(length: jax.Array, n: jax.Array, *, cap: int) -> jax.Array:
         reach = reach.at[nxt_ext].max(reach)
         nxt_ext = nxt_ext[nxt_ext]
     return (reach[:cap] > 0) & (idx < n)
+
+
+def token_starts(length: jax.Array, n: jax.Array, *, cap: int) -> jax.Array:
+    """Backend-dispatching token-start selection (see token_starts_xla)."""
+    if jax.default_backend() == "tpu" and cap % 1024 == 0:
+        from salz_tpu.ops.starts import token_starts_chunked
+
+        return token_starts_chunked(length, n, cap=cap)
+    return token_starts_xla(length, n, cap=cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -96,24 +107,37 @@ def emit_stream(
     is_start = token_starts(length, n, cap=cap)
 
     # ---- compact tokens (text tokens first, then the 8 forced tail literals)
-    tok_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    # Stable sort by ~is_start carries (position, length, offset, byte) of
+    # every token start to the front in text order — one sort instead of a
+    # compaction scatter plus three full-size gathers (sorts are much cheaper
+    # than 1-D gathers on TPU).
     num_text_tokens = jnp.sum(is_start.astype(jnp.int32))
     K = num_text_tokens + TAIL_RESERVE  # total tokens
 
     tcap = cap + TAIL_RESERVE  # static max token count
-    tok_pos = jnp.full(tcap, cap, jnp.int32)
-    scatter_to = jnp.where(is_start, tok_id, tcap)  # masked -> dropped
-    tok_pos = tok_pos.at[scatter_to].set(idx, mode="drop")
-    # Tail literals: token ids K-8 .. K-1, positions n .. n+7.
-    tail_ids = num_text_tokens + jnp.arange(TAIL_RESERVE, dtype=jnp.int32)
-    tok_pos = tok_pos.at[tail_ids].set(n + jnp.arange(TAIL_RESERVE, dtype=jnp.int32))
+    _, pos_s, len_s, offs_s, byte_s = jax.lax.sort(
+        (1 - is_start.astype(jnp.int32), idx, length, offs, block),
+        num_keys=1,
+        is_stable=True,
+    )
 
     tids = jnp.arange(tcap, dtype=jnp.int32)
     tok_valid = tids < K
     is_tail = (tids >= num_text_tokens) & tok_valid
+    # Tail literals: token ids K-8 .. K-1, positions n .. n+7.
+    tail_pos = n + tids - num_text_tokens
+    pad = jnp.zeros(TAIL_RESERVE, jnp.int32)
+    tok_pos = jnp.where(
+        is_tail, tail_pos, jnp.concatenate([pos_s, pad])
+    )
+    tok_pos = jnp.where(tok_valid, tok_pos, cap)
     pos_c = jnp.clip(tok_pos, 0, cap - 1)
-    tok_len = jnp.where(is_tail, 1, jnp.where(tok_valid, length[pos_c], 1))
-    tok_offs = jnp.where(tok_valid & ~is_tail, offs[pos_c], 0)
+    tok_len = jnp.where(
+        is_tail | ~tok_valid, 1, jnp.concatenate([len_s, pad])
+    )
+    tok_offs = jnp.where(
+        tok_valid & ~is_tail, jnp.concatenate([offs_s, pad]), 0
+    )
     is_factor = tok_valid & (tok_len > 1)
 
     # ---- per-token sizes and bit patterns
@@ -131,12 +155,17 @@ def emit_stream(
     num_slots = (total_bits + 63) >> 6
 
     # ---- byte scatter
-    byte_val = jnp.where(
-        is_factor,
-        ((tok_offs - 1) & 0xFF).astype(jnp.uint8),
-        block[jnp.clip(pos_c, 0, cap - 1)],
+    # Literal bytes came through the compaction sort; the 8 tail literal bytes
+    # live at block[n : n+8] (contiguous — a dynamic slice, not a gather) and
+    # land at token ids num_text_tokens..K-1 (contiguous — an update slice).
+    lit_bytes = jnp.concatenate([byte_s, jnp.zeros(TAIL_RESERVE, jnp.uint8)])
+    tail_bytes = jax.lax.dynamic_slice(block, (jnp.maximum(n, 0),), (TAIL_RESERVE,))
+    lit_bytes = jax.lax.dynamic_update_slice(
+        lit_bytes, tail_bytes, (num_text_tokens,)
     )
-    byte_val = jnp.where(is_tail, block[jnp.clip(tok_pos, 0, cap - 1)], byte_val)
+    byte_val = jnp.where(
+        is_factor, ((tok_offs - 1) & 0xFF).astype(jnp.uint8), lit_bytes
+    )
     byte_bits = bits_before + w1  # bits written before this token's byte
     byte_pos = 4 + tids + 8 * ((byte_bits + 63) >> 6)
 
@@ -192,12 +221,16 @@ def emit_stream(
     scap = (9 * cap + 8 * TAIL_RESERVE) // 64 + 2  # static max slot count
     j = jnp.arange(scap, dtype=jnp.int32)
     slot_valid = j < num_slots
-    # bytes before slot j+1's claim = #{t : byte_bits_t <= 64j}; byte_bits is
-    # nondecreasing over valid tokens -> binary search on the compacted array.
-    sorted_byte_bits = jnp.where(tok_valid, byte_bits, jnp.int32(2**30))
-    bytes_before = jnp.searchsorted(
-        sorted_byte_bits, 64 * j, side="right"
-    ).astype(jnp.int32)
+    # bytes before slot j+1's claim = #{t : byte_bits_t <= 64j}. byte_bits >= 1
+    # for every valid token, so byte_bits <= 64j iff ceil(byte_bits/64) <= j:
+    # histogram the per-token slot ordinal and prefix-sum — one small scatter
+    # plus a cumsum instead of a binary search (gather cascade) per slot.
+    s_ord = (byte_bits + 63) >> 6
+    s_ord = jnp.where(tok_valid, s_ord, scap)
+    cnt = jnp.zeros(scap + 1, jnp.int32).at[jnp.clip(s_ord, 0, scap)].add(
+        1, mode="drop"
+    )
+    bytes_before = jnp.cumsum(cnt)[:scap].astype(jnp.int32)
     slot_pos = 4 + 8 * j + bytes_before
 
     hi = words[jnp.clip(2 * j, 0, nwords - 1)]

@@ -16,9 +16,9 @@ import numpy as np
 
 from salz_tpu import format as fmt
 from salz_tpu.format import TAIL_RESERVE
-from salz_tpu.ops.ansv import psv_nsv
+from salz_tpu.ops.ansv import psv_nsv_full
 from salz_tpu.ops.emit import emit_stream
-from salz_tpu.ops.lcp import pair_lcp
+from salz_tpu.ops.lcp import candidate_lcps
 from salz_tpu.ops.parse import optimal_parse_chunked, optimal_parse_sequential
 from salz_tpu.ops.suffix_array import suffix_array_with_ranks
 
@@ -43,11 +43,12 @@ def encode_block_device(
     n = block_len - TAIL_RESERVE
     idx = jnp.arange(cap, dtype=jnp.int32)
 
-    sa, ckpt, _ = suffix_array_with_ranks(block, n, cap=cap)
-    psv_pos, nsv_pos = psv_nsv(sa, n, cap=cap)
+    sa, ckpt, n_levels = suffix_array_with_ranks(block, n, cap=cap)
+    psv_pos, nsv_pos, lslot, rslot, rank = psv_nsv_full(sa, n, cap=cap)
 
-    psv_len = pair_lcp(ckpt, n, psv_pos, idx, cap=cap)
-    nsv_len = pair_lcp(ckpt, n, nsv_pos, idx, cap=cap)
+    psv_len, nsv_len = candidate_lcps(
+        ckpt, n_levels, n, sa, lslot, rslot, rank, cap=cap
+    )
     psv_offs = idx - psv_pos  # = pos+1 when absent, mirroring salz.c:555
     nsv_offs = idx - nsv_pos
 

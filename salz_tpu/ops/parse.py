@@ -105,11 +105,14 @@ def optimal_parse_chunked(
 
     Works on u[p] = cost[p] - 9*(n - p) (the literal-chain potential), so the
     literal edge becomes u[p] = min(u[p+1], ...) — a suffix min — and each
-    factor edge a gather. Chunks are processed back to front; within a chunk
-    the (factor-gather + suffix-min) operator is iterated to its unique
-    fixpoint (the graph is a forward DAG, so the fixpoint IS the DP solution).
-    Per-iteration work is O(chunk); the iteration count adapts to the depth of
-    nested in-chunk factor chains (typically a handful).
+    factor edge a gather. Chunks are processed back to front. Per chunk, the
+    contributions of factor edges that LEAVE the chunk are gathered once (their
+    targets are already final); the in-chunk fixpoint then iterates on
+    chunk-sized vectors only — tiny gathers, a suffix cummin, and a
+    convergence check — so per-round work is O(chunk), not O(cap). The DP
+    values are a unique fixpoint over a forward DAG, so at convergence the
+    chosen factors (with the reference's strict literal < PSV < NSV tie order)
+    are identical to the sequential result.
     """
     assert cap % chunk == 0
     idx = jnp.arange(cap, dtype=jnp.int32)
@@ -144,30 +147,45 @@ def optimal_parse_chunked(
         nt = jax.lax.dynamic_slice(nsv_tgt, (lo,), (chunk,))
         pos = lo + cidx
         act = (pos >= 1) & (pos < n)
-        boundary = u[jnp.clip(lo + chunk, 0, cap)]  # final value at hi
+        rest = jnp.where(pos >= n, 0, _INF)
+        hi = lo + chunk
+        boundary = u[jnp.clip(hi, 0, cap)]  # final value at hi
+
+        # Contributions of edges that leave the chunk: targets >= hi are
+        # already final, so gather them once (chunk-sized gather).
+        p_in = pt < hi
+        n_in = nt < hi
+        pre = jnp.minimum(
+            jnp.where(p_in, _INF, pw + u[pt]),
+            jnp.where(n_in, _INF, nw + u[nt]),
+        )
+        # In-chunk local targets (index into the chunk-local u vector of
+        # length chunk + 1 whose last entry is the boundary value).
+        ptl = jnp.where(p_in, pt - lo, chunk)
+        ntl = jnp.where(n_in, nt - lo, chunk)
+        pw_in = jnp.where(p_in, pw, _INF)
+        nw_in = jnp.where(n_in, nw, _INF)
 
         def relax(state):
-            u_g, _, it = state
-            v = jnp.minimum(pw + u_g[pt], nw + u_g[nt])
-            v = jnp.where(act, v, jnp.where(pos >= n, 0, _INF))
+            ul, _, it = state
+            v = jnp.minimum(pre, jnp.minimum(pw_in + ul[ptl], nw_in + ul[ntl]))
+            v = jnp.where(act, v, rest)
             # Backward running min seeded with the boundary value u[hi].
             vv = jnp.concatenate([v, boundary[None]])
-            new_chunk = jax.lax.cummin(vv[::-1])[::-1][:chunk]
-            new_chunk = jnp.where(act, new_chunk, jnp.where(pos >= n, 0, _INF))
-            new_u = jax.lax.dynamic_update_slice(u_g, new_chunk, (lo,))
-            return new_u, u_g, it + 1
+            new_ul = jax.lax.cummin(vv, reverse=True)
+            new_ul = new_ul.at[:chunk].set(
+                jnp.where(act, new_ul[:chunk], rest)
+            )
+            return new_ul, ul, it + 1
 
         def cond(state):
-            u_g, prev, it = state
-            changed = jnp.any(
-                jax.lax.dynamic_slice(u_g, (lo,), (chunk,))
-                != jax.lax.dynamic_slice(prev, (lo,), (chunk,))
-            )
-            return changed & (it <= chunk)
+            ul, prev, it = state
+            return jnp.any(ul != prev) & (it <= chunk)
 
-        state = relax((u, u, jnp.int32(0)))
-        u_final, _, _ = jax.lax.while_loop(cond, relax, state)
-        return u_final
+        ul0 = jnp.full(chunk + 1, _INF, jnp.int32).at[chunk].set(boundary)
+        state = relax((ul0, ul0, jnp.int32(0)))
+        ul, _, _ = jax.lax.while_loop(cond, relax, state)
+        return jax.lax.dynamic_update_slice(u, ul[:chunk], (lo,))
 
     u = jax.lax.fori_loop(0, num_chunks, chunk_body, u0)
     active = (idx >= 1) & (idx < n)

@@ -55,10 +55,11 @@ def suffix_array_with_ranks(text: jax.Array, n: jax.Array, *, cap: int):
     def round_body(state):
         rank, ckpt, level, _ = state
         h = jnp.int32(1) << (level - 1)  # current block half-length 2^(l-1)
-        shifted = idx + h
-        rank2 = jnp.where(
-            shifted < n, rank[jnp.clip(shifted, 0, cap - 1)], jnp.int32(-1)
-        )
+        # rank2[i] = rank[i + h] (or -1 past the text) — a contiguous shifted
+        # slice, NOT a gather: the index is iota + a dynamic scalar.
+        rank_padded = jnp.concatenate([rank, jnp.full(cap, -1, jnp.int32)])
+        rank2 = jax.lax.dynamic_slice(rank_padded, (h,), (cap,))
+        rank2 = jnp.where(idx + h < n, rank2, jnp.int32(-1))
         # Sort (rank, rank2, index); ranks are dense so pairs identify blocks.
         k1, k2, perm = jax.lax.sort((rank, rank2, idx), num_keys=2)
         changed = jnp.concatenate(
@@ -68,7 +69,10 @@ def suffix_array_with_ranks(text: jax.Array, n: jax.Array, *, cap: int):
             ]
         )
         new_rank_sorted = jnp.cumsum(changed, dtype=jnp.int32)
-        new_rank = jnp.zeros(cap, jnp.int32).at[perm].set(new_rank_sorted)
+        # Invert the permutation with a sort (cheaper than a 1-D scatter on
+        # TPU): sorting (perm, new_rank_sorted) by perm lands every new rank
+        # at its text position.
+        _, new_rank = jax.lax.sort((perm, new_rank_sorted), num_keys=1)
         ckpt = ckpt.at[level].set(new_rank)
         return new_rank, ckpt, level + 1, all_distinct(new_rank)
 
@@ -79,8 +83,9 @@ def suffix_array_with_ranks(text: jax.Array, n: jax.Array, *, cap: int):
     rank, ckpt, level, _ = jax.lax.while_loop(
         cond, round_body, (rank0, ckpt0, jnp.int32(1), all_distinct(rank0))
     )
-    # rank is now a permutation of [0, cap); invert to get the suffix array.
-    sa = jnp.zeros(cap, jnp.int32).at[rank].set(idx)
+    # rank is now a permutation of [0, cap); invert (via sort — cheaper than
+    # a 1-D scatter on TPU) to get the suffix array.
+    _, sa = jax.lax.sort((rank, idx), num_keys=1)
     return sa, ckpt, level
 
 

@@ -63,6 +63,9 @@ def sharded_encode_fn(mesh: Mesh, *, cap: int, parse: str = "chunked"):
         mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
         out_specs=(P(axis, None), P(axis), P(axis), (P(), P())),
+        # pallas_call outputs (the TPU token-start kernels) cannot declare
+        # varying-mesh-axes metadata, so the vma check must be off.
+        check_vma=False,
     )
     return jax.jit(shard)
 

@@ -16,23 +16,30 @@ import jax
 import jax.numpy as jnp
 
 from bench import make_corpus
-from salz_tpu.ops.ansv import psv_nsv
+from salz_tpu.ops.ansv import psv_nsv_full
 from salz_tpu.ops.emit import emit_stream, token_starts
-from salz_tpu.ops.lcp import pair_lcp
-from salz_tpu.ops.parse import optimal_parse_chunked, optimal_parse_sequential
+from salz_tpu.ops.lcp import candidate_lcps
+from salz_tpu.ops.parse import optimal_parse_chunked
 from salz_tpu.ops.suffix_array import suffix_array_with_ranks
 
 CAP = int(os.environ.get("CAP", str(1 << 20)))
 CHUNK = int(os.environ.get("CHUNK", "512"))
 
 
+def _sync(out):
+    # device_get of one element: block_until_ready alone does not reliably
+    # block through the axon tunnel.
+    first = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(first.ravel()[:1]))
+
+
 def timeit(name, fn, *args, reps=3, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        _sync(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:24s} {dt*1000:9.1f} ms   ({CAP/dt/1e6:8.1f} MB/s)", flush=True)
     return out
@@ -45,14 +52,21 @@ def main():
     n = jnp.int32(CAP - 8)
     idx = jnp.arange(CAP, dtype=jnp.int32)
 
-    sa, ckpt, _ = timeit("suffix_array", suffix_array_with_ranks, block, n, cap=CAP)
-    psv, nsv = timeit("ansv", psv_nsv, sa, n, cap=CAP)
-    pl = timeit("lcp_psv", pair_lcp, ckpt, n, psv, idx, cap=CAP)
-    nl = timeit("lcp_nsv", pair_lcp, ckpt, n, nsv, idx, cap=CAP)
+    sa, ckpt, nlv = timeit(
+        "suffix_array", suffix_array_with_ranks, block, n, cap=CAP
+    )
+    print(f"  (levels filled: {int(nlv)})", flush=True)
+    psv, nsv, lslot, rslot, rank = timeit(
+        "ansv_full", psv_nsv_full, sa, n, cap=CAP
+    )
+    pl_, nl_ = timeit(
+        "candidate_lcps", candidate_lcps, ckpt, nlv, n, sa, lslot, rslot,
+        rank, cap=CAP,
+    )
     po = idx - psv
     no = idx - nsv
     offs, length, _ = timeit(
-        "parse_chunked", optimal_parse_chunked, po, pl, no, nl, n,
+        "parse_chunked", optimal_parse_chunked, po, pl_, no, nl_, n,
         cap=CAP, chunk=CHUNK,
     )
     timeit("token_starts", token_starts, length, n, cap=CAP)
