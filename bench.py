@@ -54,7 +54,7 @@ def make_corpus(total_bytes: int) -> bytes:
 def main() -> None:
     mb = int(os.environ.get("SALZ_BENCH_MB", "32"))
     level = int(os.environ.get("SALZ_BENCH_LEVEL", "5"))
-    batch = int(os.environ.get("SALZ_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("SALZ_BENCH_BATCH", "8"))
 
     from salz_tpu import format as fmt
     from salz_tpu import native
@@ -100,7 +100,11 @@ def main() -> None:
                 jnp.asarray(padded[i]), jnp.asarray(lens[i]), cap=cap
             )
             outs_lens.append((o, ol))
-        jax.block_until_ready(outs_lens[-1][0])
+        # Honest sync: device_get of one element of every batch's output —
+        # block_until_ready alone does not reliably block through the axon
+        # tunnel.
+        for o, ol in outs_lens:
+            np.asarray(jax.device_get(ol.ravel()[:1]))
         return outs_lens
 
     log("compiling + warmup...")
@@ -115,13 +119,23 @@ def main() -> None:
     device_mbps = total / device_dt / 1e6
     log(f"device: {device_mbps:.2f} MB/s ({device_dt:.2f}s for {total/1e6:.0f} MB)")
 
-    # ---- conformance: first block byte-identical + roundtrip
-    out0 = np.asarray(results[0][0])[0]
-    len0 = int(np.asarray(results[0][1])[0])
-    seg0 = bytes(out0[:len0])
-    assert seg0 == native_segs[0], "device stream != reference stream"
-    assert native.decode_block(seg0, cap) == blocks[0], "roundtrip failed"
-    log("conformance: byte-identical + roundtrip OK")
+    # ---- conformance: EVERY block byte-identical + roundtrip (batch bugs
+    # can corrupt only blocks b > 0 — never check just the first).
+    nblk = 0
+    for bi, (o, ol) in enumerate(results):
+        o = np.asarray(o)
+        ol = np.asarray(ol)
+        for j in range(o.shape[0]):
+            if nblk >= len(blocks):
+                break
+            seg = bytes(o[j][: int(ol[j])])
+            ref = native.encode_block(blocks[nblk])
+            assert seg == ref, f"device stream != reference (block {nblk})"
+            assert native.decode_block(seg, cap) == blocks[nblk], (
+                f"roundtrip failed (block {nblk})"
+            )
+            nblk += 1
+    log(f"conformance: {nblk} blocks byte-identical + roundtrip OK")
 
     print(json.dumps({
         "metric": "compress_MB_s_per_chip",

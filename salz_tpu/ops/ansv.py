@@ -11,8 +11,15 @@ gathers are ~3x the cost of a full sort, while shifted slices are free):
 
   Phase B (dynamic-depth descent): the classic binary descent for the exact
   slot, started at each query's resolve level and iterated only
-  max(resolve level) times (a dynamic trip count — typically far fewer than
-  log2(n) rounds). Left and right queries share each level's gather.
+  max(resolve level) times (a dynamic trip count). Left and right queries
+  share each level's gather.
+
+On TPU the slot search dispatches to the Pallas in-row kernel + compacted
+descent in salz_tpu/ops/ansv_tpu.py instead.
+
+Everything is BATCH-NATIVE: (B, cap) arrays, flat 1-D gathers with per-block
+base offsets, batch-level conds — vmapped gathers and vmapped lax.cond (which
+executes both branches) are an order of magnitude slower on TPU.
 
 Semantics match the stack scan exactly: values are text positions (all
 distinct), -1 means "no smaller value on that side" (the reference's -1
@@ -33,56 +40,67 @@ def _levels(cap: int) -> int:
     return max(1, (cap - 1).bit_length())
 
 
-def _sparse_table(vals, cap: int):
-    """tables[l][k] = min(vals[k : k + 2^l]) (out of range -> INF), stacked."""
+def _sparse_table_batch(vals, cap: int):
+    """tables[:, l, k] = min(vals[:, k : k + 2^l]) (out of range -> INF)."""
     L = _levels(cap)
+    B = vals.shape[0]
     tables = [vals]
     t = vals
     for l in range(1, L + 1):
         h = 1 << (l - 1)
-        shifted = jnp.concatenate([t[h:], jnp.full((h,), _INF, jnp.int32)])
+        shifted = jnp.concatenate(
+            [t[:, h:], jnp.full((B, h), _INF, jnp.int32)], axis=1
+        )
         t = jnp.minimum(t, shifted)
         tables.append(t)
-    return jnp.stack(tables), L
+    return jnp.stack(tables, axis=1), L  # (B, L+1, cap)
 
 
-def _ansv_slots(vals, n, *, cap: int):
+def _ansv_slots_batch(vals, n, *, cap: int):
     """Nearest-smaller slots (left, right) per SA slot, -1 when absent."""
     L = _levels(cap)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    table, _ = _sparse_table(vals, cap)
+    B = vals.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    table, _ = _sparse_table_batch(vals, cap)
+    flat = table.reshape(-1)
+    brow = (jnp.arange(B, dtype=jnp.int32) * (L + 1) * cap)[:, None]
     x = vals
 
-    # Exclusive prefix min (min over vals[0:k]) and inclusive suffix min
-    # (min over vals[k:]) for the clamped boundary windows.
+    # Exclusive prefix min and after-suffix min for clamped boundary windows.
     pmin_excl = jnp.concatenate(
-        [jnp.full((1,), _INF, jnp.int32), jax.lax.cummin(vals)[:-1]]
+        [
+            jnp.full((B, 1), _INF, jnp.int32),
+            jax.lax.cummin(vals, axis=1)[:, :-1],
+        ],
+        axis=1,
     )
-    smin_incl = jnp.concatenate(
-        [jax.lax.cummin(vals, reverse=True)[1:], jnp.full((1,), _INF, jnp.int32)]
-    )  # smin_incl[k] = min(vals[k+1:]) via shift
+    smin_after = jnp.concatenate(
+        [
+            jax.lax.cummin(vals, axis=1, reverse=True)[:, 1:],
+            jnp.full((B, 1), _INF, jnp.int32),
+        ],
+        axis=1,
+    )
 
     # ---- Phase A: resolve levels (shifted slices only; XLA fuses the loop).
-    rL = jnp.full(cap, L + 1, jnp.int32)
-    rR = jnp.full(cap, L + 1, jnp.int32)
-    foundL = jnp.zeros(cap, jnp.bool_)
-    foundR = jnp.zeros(cap, jnp.bool_)
+    rL = jnp.full((B, cap), L + 1, jnp.int32)
+    rR = jnp.full((B, cap), L + 1, jnp.int32)
+    foundL = jnp.zeros((B, cap), jnp.bool_)
+    foundR = jnp.zeros((B, cap), jnp.bool_)
     for l in range(L + 1):
         h = 1 << l
-        # Left window [k-2^l, k): table[l][k-h] when in range, else prefix min.
+        tl = table[:, l, :]
         if h < cap:
             wl = jnp.concatenate(
-                [jnp.full((h,), _INF, jnp.int32), table[l][: cap - h]]
+                [jnp.full((B, h), _INF, jnp.int32), tl[:, : cap - h]], axis=1
             )
         else:
-            wl = jnp.full((cap,), _INF, jnp.int32)
+            wl = jnp.full((B, cap), _INF, jnp.int32)
         hasL = jnp.where(idx - h >= 0, wl < x, pmin_excl < x)
-        # Right window [k+1, k+1+2^l): table[l][k+1] when it fits, else
-        # suffix min.
         wr = jnp.concatenate(
-            [table[l][1:], jnp.full((1,), _INF, jnp.int32)]
+            [tl[:, 1:], jnp.full((B, 1), _INF, jnp.int32)], axis=1
         )
-        hasR = jnp.where(idx + 1 + h <= cap, wr < x, smin_incl < x)
+        hasR = jnp.where(idx + 1 + h <= cap, wr < x, smin_after < x)
         rL = jnp.where(~foundL & hasL, l, rL)
         rR = jnp.where(~foundR & hasR, l, rR)
         foundL |= hasL
@@ -92,7 +110,6 @@ def _ansv_slots(vals, n, *, cap: int):
     jmax = jnp.max(
         jnp.maximum(jnp.where(foundL, rL, 0), jnp.where(foundR, rR, 0))
     )
-    flat = table.reshape(-1)
 
     def body(t, state):
         posL, posR = state
@@ -101,21 +118,15 @@ def _ansv_slots(vals, n, *, cap: int):
         candL = posL - h
         okL = (candL >= 0) & (l < rL) & foundL
         okR = (posR + h <= cap) & (l < rR) & foundR
-        q = jnp.concatenate(
-            [
-                l * cap + jnp.clip(candL, 0, cap - 1),
-                l * cap + jnp.clip(posR, 0, cap - 1),
-            ]
-        )
-        g = flat[q]
-        wminL, wminR = g[:cap], g[cap:]
+        qL = brow + l * cap + jnp.clip(candL, 0, cap - 1)
+        qR = brow + l * cap + jnp.clip(posR, 0, cap - 1)
+        g = flat[jnp.concatenate([qL, qR], axis=1)]
+        wminL, wminR = g[:, :cap], g[:, cap:]
         posL = jnp.where(okL & (wminL >= x), candL, posL)
         posR = jnp.where(okR & (wminR >= x), posR + h, posR)
         return posL, posR
 
-    # Derive the init carries from `vals` so they carry the same varying
-    # manual axes as the body outputs under shard_map (zero-cost: x - x).
-    vzero = vals - vals
+    vzero = vals - vals  # varying-axes-preserving zero (shard_map)
     posL0 = idx + vzero
     posR0 = idx + 1 + vzero
     posL, posR = jax.lax.fori_loop(0, jmax, body, (posL0, posR0))
@@ -125,49 +136,69 @@ def _ansv_slots(vals, n, *, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def psv_nsv_full(sa: jax.Array, n: jax.Array, *, cap: int):
-    """PSV/NSV positions, slots, and ranks, all in TEXT order.
+def psv_nsv_full_batch(sa: jax.Array, n: jax.Array, *, cap: int):
+    """PSV/NSV positions, slots, and ranks in TEXT order, batched.
 
     Args:
-      sa: int32[cap]; sa[:n] is the suffix array (a permutation of [0, n)).
-      n: dynamic valid length.
+      sa: int32[B, cap]; sa[b, :n[b]] is the suffix array of block b.
+      n: int32[B] dynamic valid lengths.
     Returns:
-      (psv, nsv, left_slot, right_slot, rank): int32[cap] each, TEXT order;
-      entries >= n are undefined. psv/nsv are text positions (-1 = absent);
-      left_slot/right_slot are SA-slot indices of those candidates (-1 =
-      absent); rank[i] is the SA slot of suffix i.
+      (psv, nsv, left_slot, right_slot, rank): int32[B, cap] each, TEXT
+      order; entries >= n are undefined. psv/nsv are text positions (-1 =
+      absent); left_slot/right_slot are SA-slot indices of those candidates
+      (-1 = absent); rank is the SA slot of each text position.
     """
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    vals = jnp.where(idx < n, sa, _INF)
-    left_slot, right_slot = _ansv_slots(vals, n, cap=cap)
+    B = sa.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = idx < n[:, None]
+    vals = jnp.where(valid, sa, _INF)
+    if jax.default_backend() == "tpu" and cap % 1024 == 0:
+        from salz_tpu.ops.ansv_tpu import ansv_slots_vals_tpu_batch
 
-    # Candidate VALUES: one fused gather for both sides.
-    q = jnp.concatenate(
-        [jnp.clip(left_slot, 0, cap - 1), jnp.clip(right_slot, 0, cap - 1)]
-    )
-    g = vals[q]
-    psv_val = jnp.where(left_slot >= 0, g[:cap], -1)
-    nsv_val = jnp.where((right_slot >= 0) & (g[cap:] != _INF), g[cap:], -1)
+        left_slot, lval, right_slot, rval = ansv_slots_vals_tpu_batch(
+            vals, n, cap=cap
+        )
+        psv_val = jnp.where(left_slot >= 0, lval, -1)
+        nsv_val = jnp.where(right_slot >= 0, rval, -1)
+    else:
+        left_slot, right_slot = _ansv_slots_batch(vals, n, cap=cap)
+        # Candidate VALUES: one fused flat gather for both sides.
+        brow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
+        q = jnp.concatenate(
+            [
+                brow + jnp.clip(left_slot, 0, cap - 1),
+                brow + jnp.clip(right_slot, 0, cap - 1),
+            ],
+            axis=1,
+        )
+        g = vals.reshape(-1)[q]
+        psv_val = jnp.where(left_slot >= 0, g[:, :cap], -1)
+        nsv_val = jnp.where(
+            (right_slot >= 0) & (g[:, cap:] != _INF), g[:, cap:], -1
+        )
 
     # Scatter everything from SA order to text order with ONE stable sort
-    # keyed by the text position (sorts beat 1-D scatters on TPU). Padded
-    # slots get key cap and land past every valid position.
-    dest = jnp.where(idx < n, vals, cap)
+    # per block keyed by the text position (sorts beat 1-D scatters on TPU).
+    # Padded slots get key cap and land past every valid position.
+    dest = jnp.where(valid, vals, cap)
+    slot_iota = jnp.broadcast_to(idx, (B, cap)) + (vals - vals)
     _, psv, nsv, lslot, rslot, rank = jax.lax.sort(
-        (dest, psv_val, nsv_val, left_slot, right_slot, idx), num_keys=1
+        (dest, psv_val, nsv_val, left_slot, right_slot, slot_iota),
+        num_keys=1,
+        dimension=1,
     )
     return psv, nsv, lslot, rslot, rank
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def psv_nsv(sa: jax.Array, n: jax.Array, *, cap: int):
-    """Text-order PSV/NSV positions for the suffix array prefix sa[:n].
+def psv_nsv_full(sa: jax.Array, n: jax.Array, *, cap: int):
+    """Single-block wrapper over psv_nsv_full_batch."""
+    out = psv_nsv_full_batch(sa[None], jnp.asarray(n)[None], cap=cap)
+    return tuple(o[0] for o in out)
 
-    Args:
-      sa: int32[cap]; sa[:n] is the suffix array (a permutation of [0, n)).
-      n: dynamic valid length.
-    Returns:
-      (psv, nsv): int32[cap] in TEXT order; entries >= n are undefined.
-    """
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def psv_nsv(sa: jax.Array, n: jax.Array, *, cap: int):
+    """Text-order PSV/NSV positions for the suffix array prefix sa[:n]."""
     psv, nsv, _, _, _ = psv_nsv_full(sa, n, cap=cap)
     return psv, nsv

@@ -16,10 +16,13 @@ import numpy as np
 
 from salz_tpu import format as fmt
 from salz_tpu.format import TAIL_RESERVE
-from salz_tpu.ops.ansv import psv_nsv_full
+from salz_tpu.ops.ansv import psv_nsv_full_batch
 from salz_tpu.ops.emit import emit_stream
-from salz_tpu.ops.lcp import candidate_lcps
-from salz_tpu.ops.parse import optimal_parse_chunked, optimal_parse_sequential
+from salz_tpu.ops.lcp import candidate_lcps_batch
+from salz_tpu.ops.parse import (
+    optimal_parse_chunked_batch,
+    optimal_parse_sequential,
+)
 from salz_tpu.ops.suffix_array import suffix_array_with_ranks
 
 
@@ -29,40 +32,67 @@ def out_capacity(cap: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "parse"))
-def encode_block_device(
-    block: jax.Array, block_len: jax.Array, *, cap: int, parse: str = "chunked"
+def encode_blocks_device(
+    blocks: jax.Array, block_lens: jax.Array, *, cap: int, parse: str = "chunked"
 ):
-    """Encode one padded block (uint8[cap], valid prefix block_len >= 8).
+    """Encode a batch of padded blocks (uint8[B, cap], valid prefixes >= 8).
+
+    The heavy irregular stages (ANSV, LCP, parse) are BATCH-NATIVE — flat
+    1-D gathers with per-block offsets and batch-level conds — because
+    vmapped gathers and vmapped lax.cond (which executes both branches) are
+    an order of magnitude slower on TPU. The sort-bound suffix array and the
+    emission (incl. the Pallas token-start kernels) vmap fine.
 
     Returns (out, out_len, salz_len):
-      out: uint8[out_capacity(cap)] — the segment (header included), zero padded.
-      out_len: int32 — segment length after the PLAIN-fallback decision.
-      salz_len: int32 — raw SALZ layout size; callers reproduce the reference's
-        capacity-abort by erroring when salz_len > dst_cap (FORMAT.md §1.2).
+      out: uint8[B, out_capacity(cap)] — segments (header included), padded.
+      out_len: int32[B] — segment lengths after the PLAIN-fallback decision.
+      salz_len: int32[B] — raw SALZ layout sizes; callers reproduce the
+        reference's capacity-abort by erroring when salz_len > dst_cap
+        (FORMAT.md §1.2).
     """
-    n = block_len - TAIL_RESERVE
-    idx = jnp.arange(cap, dtype=jnp.int32)
+    ns = block_lens - TAIL_RESERVE
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
-    sa, ckpt, n_levels = suffix_array_with_ranks(block, n, cap=cap)
-    psv_pos, nsv_pos, lslot, rslot, rank = psv_nsv_full(sa, n, cap=cap)
+    sa, ckpt, n_levels = jax.vmap(
+        lambda b, n: suffix_array_with_ranks(b, n, cap=cap)
+    )(blocks, ns)
+    psv_pos, nsv_pos, lslot, rslot, rank = psv_nsv_full_batch(sa, ns, cap=cap)
 
-    psv_len, nsv_len = candidate_lcps(
-        ckpt, n_levels, n, sa, lslot, rslot, rank, cap=cap
+    psv_len, nsv_len = candidate_lcps_batch(
+        ckpt, n_levels, ns, sa, lslot, rslot, rank, cap=cap
     )
     psv_offs = idx - psv_pos  # = pos+1 when absent, mirroring salz.c:555
     nsv_offs = idx - nsv_pos
 
     if parse == "chunked":
         chunk = min(512, cap)
-        offs, length, _ = optimal_parse_chunked(
-            psv_offs, psv_len, nsv_offs, nsv_len, n, cap=cap, chunk=chunk
+        offs, length, _ = optimal_parse_chunked_batch(
+            psv_offs, psv_len, nsv_offs, nsv_len, ns, cap=cap, chunk=chunk
         )
     else:
-        offs, length, _ = optimal_parse_sequential(
-            psv_offs, psv_len, nsv_offs, nsv_len, n, cap=cap
-        )
+        offs, length, _ = jax.vmap(
+            lambda po, pl_, no, nl_, n: optimal_parse_sequential(
+                po, pl_, no, nl_, n, cap=cap
+            )
+        )(psv_offs, psv_len, nsv_offs, nsv_len, ns)
 
-    return emit_stream(block, block_len, offs, length, cap=cap)
+    return jax.vmap(lambda b, bl, o, l: emit_stream(b, bl, o, l, cap=cap))(
+        blocks, block_lens, offs, length
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "parse"))
+def encode_block_device(
+    block: jax.Array, block_len: jax.Array, *, cap: int, parse: str = "chunked"
+):
+    """Encode one padded block (uint8[cap], valid prefix block_len >= 8).
+
+    Single-block wrapper over encode_blocks_device; same contract per block.
+    """
+    out, out_len, salz_len = encode_blocks_device(
+        block[None], jnp.asarray(block_len)[None], cap=cap, parse=parse
+    )
+    return out[0], out_len[0], salz_len[0]
 
 
 class BlockEncoder:

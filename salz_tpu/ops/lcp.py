@@ -47,6 +47,158 @@ def pair_lcp(ckpt: jax.Array, n: jax.Array, i: jax.Array, j: jax.Array, *, cap: 
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
+def candidate_lcps_batch(
+    ckpt: jax.Array,
+    n_levels: jax.Array,
+    n: jax.Array,
+    sa: jax.Array,
+    lslot: jax.Array,
+    rslot: jax.Array,
+    rank: jax.Array,
+    *,
+    cap: int,
+):
+    """PSV/NSV candidate match lengths via adjacent-LCP + RMQ, batched.
+
+    TPU-optimized replacement for two full `pair_lcp` descents: the LCP of a
+    suffix with its PSV/NSV candidate equals the range-min of the
+    lexicographically-adjacent LCP array between their SA slots (the classic
+    LCP-interval identity), so only ONE descent (for adjacent pairs) plus an
+    RMQ sparse table built from shifted slices (no gathers) and one fused
+    query gather per side are needed.
+
+    The adjacent-pair descent is further split into a CAPPED descent (levels
+    <= 6, giving min(lcp, 127) for everyone) plus an exact descent for the
+    few saturated pairs, compacted into a cap/32 bucket — most adjacent LCPs
+    are short, so the expensive high-level full-size gathers would be wasted.
+    A batch-level lax.cond falls back to the full-size descent if any block's
+    bucket overflows (highly repetitive data) — exactness always.
+
+    Batch-native: (B, ...) arrays, flat 1-D gathers with per-block offsets
+    (vmapped gathers and vmapped cond are far slower on TPU).
+
+    Args:
+      ckpt: int32[B, L, cap] rank checkpoints (per block).
+      n_levels: int32[B] filled checkpoint levels per block.
+      n: int32[B] valid lengths.
+      sa: int32[B, cap] suffix arrays (slot order).
+      lslot, rslot, rank: int32[B, cap] from psv_nsv_full_batch (text order).
+    Returns:
+      (psv_len, nsv_len): int32[B, cap] in text order; 0 where absent.
+      Entries at text positions >= n are undefined.
+    """
+    B = sa.shape[0]
+    L = int(ckpt.shape[1])
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    nb = n[:, None]
+    flat_ckpt = ckpt.reshape(-1)
+    crow = (jnp.arange(B, dtype=jnp.int32) * L * cap)[:, None]
+    vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
+
+    # ---- adjacent-LCP descent: lcp_adj[k] = LCP(sa[k-1], sa[k]), k in [1, n)
+    a_base = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), sa[:, :-1]], axis=1)
+    b_base = sa
+    valid_k = (idx >= 1) & (idx < nb)
+    n_desc = jnp.maximum(n_levels - 1, 0)[:, None]  # (B, 1)
+    p1 = jnp.minimum(n_desc, 7)
+
+    def descend(a_b, b_b, vmask, start, rounds, qrow):
+        """Shared descent: per-block level = start - 1 - t, masked when < 0."""
+        m = a_b.shape[1]
+
+        def body(t, l):
+            lev = start - 1 - t  # (B, 1)
+            active = lev >= 0
+            lev_c = jnp.maximum(lev, 0)
+            h = jnp.int32(1) << lev_c
+            a = a_b + l
+            b = b_b + l
+            fits = vmask & active & (a + h <= nb) & (b + h <= nb)
+            q = jnp.concatenate(
+                [
+                    qrow + lev_c * cap + jnp.clip(a, 0, cap - 1),
+                    qrow + lev_c * cap + jnp.clip(b, 0, cap - 1),
+                ],
+                axis=1,
+            )
+            g = flat_ckpt[q]
+            return jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
+
+        return jax.lax.fori_loop(0, rounds, body, a_b - a_b)
+
+    lcp_capped = descend(a_base, b_base, valid_k, p1, 7, crow)
+    lcp_capped = jnp.where(valid_k, lcp_capped, 0)
+
+    saturated = valid_k & (lcp_capped == 127) & (n_desc > 7)
+    count = jnp.sum(saturated.astype(jnp.int32), axis=1)  # (B,)
+    M2 = max(cap // 32, 1024)
+    key = jnp.where(saturated, 0, 1).astype(jnp.int32)
+    slot_iota = jnp.broadcast_to(idx, (B, cap)) + (sa - sa)
+    _, qk_all = jax.lax.sort((key, slot_iota), num_keys=1, dimension=1)
+    rounds_full = jnp.max(n_desc)
+
+    def gat2(arr, q):
+        return arr.reshape(-1)[vrow + q]
+
+    def bucket_path(_):
+        qk = jnp.clip(qk_all[:, :M2], 0, cap - 1)
+        validb = jnp.arange(M2, dtype=jnp.int32)[None, :] < count[:, None]
+        l2 = descend(
+            gat2(a_base, qk), gat2(b_base, qk), validb, n_desc, rounds_full,
+            crow,
+        )
+        flat_idx = jnp.where(validb, vrow + qk, B * cap)
+        return (
+            lcp_capped.reshape(-1)
+            .at[flat_idx.reshape(-1)]
+            .set(l2.reshape(-1), mode="drop")
+            .reshape(B, cap)
+        )
+
+    def full_path(_):
+        l2 = descend(a_base, b_base, valid_k, n_desc, rounds_full, crow)
+        return jnp.where(valid_k, l2, 0)
+
+    lcp_adj = jax.lax.cond(jnp.max(count) <= M2, bucket_path, full_path, 0)
+
+    # ---- RMQ sparse table over lcp_adj (shift+min only; stacked for the
+    # per-query dynamic level gather).
+    LR = max(1, (cap - 1).bit_length())
+    tables = [lcp_adj]
+    t = lcp_adj
+    big = jnp.int32(2**30)
+    for l in range(1, LR + 1):
+        h = 1 << (l - 1)
+        shifted = jnp.concatenate(
+            [t[:, h:], jnp.full((B, h), big, jnp.int32)], axis=1
+        )
+        t = jnp.minimum(t, shifted)
+        tables.append(t)
+    rmq = jnp.stack(tables, axis=1).reshape(-1)
+    rrow = (jnp.arange(B, dtype=jnp.int32) * (LR + 1) * cap)[:, None]
+
+    # ---- queries (text order): psv range (lslot, rank] -> lcp_adj[lslot+1..
+    # rank]; nsv range (rank, rslot] -> lcp_adj[rank+1..rslot].
+    def range_min(lo_excl, hi_incl, present):
+        lo = lo_excl + 1
+        d = jnp.maximum(hi_incl - lo_excl, 1)  # range length
+        j = 31 - jax.lax.clz(d)
+        q = jnp.concatenate(
+            [
+                rrow + j * cap + jnp.clip(lo, 0, cap - 1),
+                rrow + j * cap + jnp.clip(hi_incl - (1 << j) + 1, 0, cap - 1),
+            ],
+            axis=1,
+        )
+        g = rmq[q]
+        return jnp.where(present, jnp.minimum(g[:, :cap], g[:, cap:]), 0)
+
+    psv_len = range_min(lslot, rank, lslot >= 0)
+    nsv_len = range_min(rank, rslot, rslot >= 0)
+    return psv_len, nsv_len
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
 def candidate_lcps(
     ckpt: jax.Array,
     n_levels: jax.Array,
@@ -58,85 +210,15 @@ def candidate_lcps(
     *,
     cap: int,
 ):
-    """PSV/NSV candidate match lengths via adjacent-LCP + RMQ (text order).
-
-    TPU-optimized replacement for two full `pair_lcp` descents: the LCP of a
-    suffix with its PSV/NSV candidate equals the range-min of the
-    lexicographically-adjacent LCP array between their SA slots (the classic
-    LCP-interval identity), so only ONE descent (for adjacent pairs, with a
-    DYNAMIC level count — ranks at the last filled doubling level are all
-    distinct, bounding every LCP by 2^(n_levels-1)) plus an RMQ sparse table
-    built from shifted slices (no gathers) and one fused 4-way query gather
-    are needed.
-
-    Args:
-      ckpt: int32[L, cap] rank checkpoints (suffix_array_with_ranks output).
-      n_levels: dynamic number of filled checkpoint levels.
-      sa: int32[cap] suffix array (slot order).
-      lslot, rslot: int32[cap] PSV/NSV SA-slot indices in TEXT order (-1 =
-        absent), from psv_nsv_full.
-      rank: int32[cap] SA slot of each text position (text order).
-    Returns:
-      (psv_len, nsv_len): int32[cap] in text order; 0 where absent. Entries at
-      text positions >= n are undefined.
-    """
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    flat_ckpt = ckpt.reshape(-1)
-
-    # ---- adjacent-LCP descent: lcp_adj[k] = LCP(sa[k-1], sa[k]), k in [1, n)
-    a_base = jnp.concatenate([jnp.zeros((1,), jnp.int32), sa[:-1]])
-    b_base = sa
-    valid_k = (idx >= 1) & (idx < n)
-    n_desc = jnp.maximum(n_levels - 1, 0)
-
-    def body(t, l):
-        lev = n_desc - 1 - t
-        h = jnp.int32(1) << lev
-        a = a_base + l
-        b = b_base + l
-        fits = valid_k & (a + h <= n) & (b + h <= n)
-        q = jnp.concatenate(
-            [
-                lev * cap + jnp.clip(a, 0, cap - 1),
-                lev * cap + jnp.clip(b, 0, cap - 1),
-            ]
-        )
-        g = flat_ckpt[q]
-        return jnp.where(fits & (g[:cap] == g[cap:]), l + h, l)
-
-    # sa - sa: zero-cost way to give the init carry the varying manual axes
-    # of the body output under shard_map.
-    lcp_adj = jax.lax.fori_loop(0, n_desc, body, sa - sa)
-    lcp_adj = jnp.where(valid_k, lcp_adj, 0)
-
-    # ---- RMQ sparse table over lcp_adj (shift+min only; stacked for the
-    # per-query dynamic level gather).
-    LR = max(1, (cap - 1).bit_length())
-    tables = [lcp_adj]
-    t = lcp_adj
-    big = jnp.int32(2**30)
-    for l in range(1, LR + 1):
-        h = 1 << (l - 1)
-        shifted = jnp.concatenate([t[h:], jnp.full((h,), big, jnp.int32)])
-        t = jnp.minimum(t, shifted)
-        tables.append(t)
-    rmq = jnp.stack(tables).reshape(-1)
-
-    # ---- queries (text order): psv range (lslot, rank] -> lcp_adj[lslot+1..
-    # rank]; nsv range (rank, rslot] -> lcp_adj[rank+1..rslot].
-    def range_min(lo_excl, hi_incl, present):
-        lo = lo_excl + 1
-        d = jnp.maximum(hi_incl - lo_excl, 1)  # range length
-        j = 31 - jax.lax.clz(d)
-        q = jnp.concatenate(
-            [
-                j * cap + jnp.clip(lo, 0, cap - 1),
-                j * cap + jnp.clip(hi_incl - (1 << j) + 1, 0, cap - 1),
-            ]
-        )
-        g = rmq[q]
-        return jnp.where(present, jnp.minimum(g[:cap], g[cap:]), 0)
-
-    psv_len = range_min(lslot, rank, lslot >= 0)
-    nsv_len = range_min(rank, rslot, rslot >= 0)
-    return psv_len, nsv_len
+    """Single-block wrapper over candidate_lcps_batch."""
+    pl_, nl_ = candidate_lcps_batch(
+        ckpt[None],
+        jnp.asarray(n_levels)[None],
+        jnp.asarray(n)[None],
+        sa[None],
+        lslot[None],
+        rslot[None],
+        rank[None],
+        cap=cap,
+    )
+    return pl_[0], nl_[0]

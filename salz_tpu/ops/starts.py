@@ -37,10 +37,11 @@ _LOGC = 7
 _C = 128  # chunk size = lane width (the only fast-gather window on TPU)
 
 
-def _kernel_a(nxt_ref, jt_ref, e128_ref, e1024_ref):
+def _kernel_a(rows_ref, nxt_ref, jt_ref, e128_ref, e1024_ref):
+    # rows comes in as data (NOT via pl.program_id: under jax.vmap the batch
+    # dim is prepended to the grid, which silently renumbers program ids).
     br = nxt_ref.shape[0]
-    r0 = pl.program_id(0) * br
-    rows = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 0) + r0
+    rows = rows_ref[:]
     base = rows * _C
     e = nxt_ref[:] - base  # chunk-local successor; >= 128 means "exits chunk"
     for k in range(_LOGC):
@@ -69,10 +70,9 @@ def _kernel_a(nxt_ref, jt_ref, e128_ref, e1024_ref):
     e1024_ref[:] = eg
 
 
-def _kernel_b(ent_ref, jt_ref, out_ref, *, cap: int):
+def _kernel_b(rows_ref, ent_ref, jt_ref, out_ref, *, cap: int):
     br = ent_ref.shape[0]
-    r0 = pl.program_id(0) * br
-    rows = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 0) + r0
+    rows = rows_ref[:]
     base = rows * _C
     s = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 1)  # step count
     ent = ent_ref[:]  # (br, 1) global chunk entry or -1
@@ -98,6 +98,9 @@ def token_starts_chunked(length: jax.Array, n: jax.Array, *, cap: int):
     nxt = jnp.where(idx < n, idx + jnp.maximum(length, 1), cap)
     nxt = jnp.clip(nxt, 0, cap).reshape(R, _C)
 
+    rows2d = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None], (R, _C)
+    ) + (nxt - nxt)
     jt, e128, e1024 = pl.pallas_call(
         _kernel_a,
         grid=(R // br,),
@@ -107,7 +110,8 @@ def token_starts_chunked(length: jax.Array, n: jax.Array, *, cap: int):
             jax.ShapeDtypeStruct((R, _C), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -116,7 +120,7 @@ def token_starts_chunked(length: jax.Array, n: jax.Array, *, cap: int):
             pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
-    )(nxt)
+    )(rows2d, nxt)
 
     # ---- sequential walk over 1024-windows (each visited at most once)
     NS = cap // 1024
@@ -154,6 +158,7 @@ def token_starts_chunked(length: jax.Array, n: jax.Array, *, cap: int):
         grid=(R // br,),
         out_shape=jax.ShapeDtypeStruct((R, _C), jnp.int32),
         in_specs=[
+            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (_LOGC, br, _C), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -162,7 +167,7 @@ def token_starts_chunked(length: jax.Array, n: jax.Array, *, cap: int):
         out_specs=pl.BlockSpec(
             (br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-    )(ent128.reshape(R, 1), jt)
+    )(rows2d, ent128.reshape(R, 1), jt)
 
     starts = (
         jnp.zeros(cap + 1, jnp.int32)

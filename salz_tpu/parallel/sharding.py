@@ -18,19 +18,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from salz_tpu.ops.encoder import encode_block_device, out_capacity
+from salz_tpu.ops.encoder import encode_blocks_device, out_capacity
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "parse"))
 def encode_blocks_batch(blocks, lens, *, cap: int, parse: str = "chunked"):
-    """vmap the per-block encoder over a batch axis.
+    """Batch-native block encoder (see encode_blocks_device).
 
     blocks: uint8[B, cap]; lens: int32[B] (each >= 8).
     Returns (outs uint8[B, out_capacity(cap)], out_lens int32[B],
              salz_lens int32[B]).
     """
-    fn = lambda b, l: encode_block_device(b, l, cap=cap, parse=parse)
-    return jax.vmap(fn)(blocks, lens)
+    return encode_blocks_device(blocks, lens, cap=cap, parse=parse)
 
 
 def make_mesh(devices=None, axis: str = "blocks") -> Mesh:

@@ -64,3 +64,14 @@ def test_device_rejects_short_blocks(enc_chunked):
         enc_chunked(b"abc")
     with pytest.raises(ValueError):
         enc_chunked(b"x" * (CAP + 1))
+
+
+@pytest.mark.parametrize("kind", ["zeros", "runs", "text"])
+def test_lcp_saturation_fallback_cap4096(kind):
+    """Highly repetitive data at cap 4096 overflows the adjacent-LCP
+    saturation bucket (cap/32 < 1024 floor -> bucket 1024 < saturated pairs),
+    exercising the full-descent fallback in candidate_lcps."""
+    cap = 4096
+    enc = BlockEncoder(cap, parse="chunked")
+    data = make_corpus(kind, cap - 6, seed=97)
+    assert enc(data) == oc.encode_block(data)

@@ -68,3 +68,35 @@ def test_parse_adversarial_nested_factors():
     )
     assert np.array_equal(np.asarray(length)[1:1000], ref_len[1:1000])
     assert np.array_equal(np.asarray(offs)[1:1000], ref_offs[1:1000])
+
+
+def test_chunked_far_edges_match_sequential():
+    """Factors longer than the near-window (8192) exercise the outer
+    value-iteration sweep; results must still equal the sequential DP."""
+    import numpy as np
+    from salz_tpu.ops.parse import (
+        optimal_parse_chunked,
+        optimal_parse_sequential,
+    )
+
+    cap = 1 << 15
+    n = cap - 8
+    rng = np.random.default_rng(11)
+    # long repeats: 12K-periodic text gives candidate lengths ~ n - p - 12K
+    base = rng.integers(0, 4, 12000, dtype=np.uint8)
+    text = np.tile(base, cap // 12000 + 1)[:cap]
+    from salz_tpu.oracle import pycodec as oc
+
+    sa = oc.suffix_array(text[:n])
+    psv, nsv = oc.psv_nsv(sa)
+    po, pl_, no, nl_ = oc.factorize(text[:n], psv, nsv)
+    pad = lambda a: jnp.asarray(
+        np.concatenate([a.astype(np.int32), np.zeros(cap - n, np.int32)])
+    )
+    args = (pad(po), pad(pl_), pad(no), pad(nl_), jnp.int32(n))
+    o1, l1, c1 = optimal_parse_chunked(*args, cap=cap)
+    o2, l2, c2 = optimal_parse_sequential(*args, cap=cap)
+    assert int(max(pl_.max(), nl_.max())) > 8192  # far edges present
+    assert np.array_equal(np.asarray(c1)[: n + 1], np.asarray(c2)[: n + 1])
+    assert np.array_equal(np.asarray(o1)[:n], np.asarray(o2)[:n])
+    assert np.array_equal(np.asarray(l1)[:n], np.asarray(l2)[:n])
