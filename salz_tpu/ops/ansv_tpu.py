@@ -113,22 +113,22 @@ def _full_tables_batch(vals, cap: int):
         )
         t = jnp.minimum(t, shifted)
         tables.append(t)
-    return jnp.stack(tables, axis=1).reshape(-1), L  # flat (B*(L+1)*cap)
+    return tables, L  # per-level (B, cap) arrays
 
 
-def _descend_batch(flat, L, vals, q, side_left, cap: int):
+def _descend_batch(tables, L, vals, q, side_left, cap: int):
     """Classic full binary descent for queries q (B, m); existence presumed —
-    callers mask results where no smaller value exists."""
+    callers mask results where no smaller value exists. Gathers hit per-level
+    (B, cap) operands, staying under TPU's ~128MB gather-throughput cliff."""
     B, m = q.shape
     vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
-    trow = (jnp.arange(B, dtype=jnp.int32) * (L + 1) * cap)[:, None]
     x = vals.reshape(-1)[vrow + jnp.clip(q, 0, cap - 1)]
     pos = jnp.where(side_left, q, q + 1)
     for l in range(L, -1, -1):
         h = jnp.int32(1 << l)
         cand = jnp.where(side_left, pos - h, pos)
         ok = jnp.where(side_left, cand >= 0, pos + h <= cap)
-        wmin = flat[trow + l * cap + jnp.clip(cand, 0, cap - 1)]
+        wmin = tables[l].reshape(-1)[vrow + jnp.clip(cand, 0, cap - 1)]
         step = ok & (wmin >= x)
         pos = jnp.where(step, jnp.where(side_left, cand, pos + h), pos)
     slot = jnp.clip(jnp.where(side_left, pos - 1, pos), 0, cap - 1)
@@ -193,20 +193,20 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
     lslot = jnp.where(real & ~need_l, lslot, -1)
     rslot = jnp.where(real & ~need_r, rslot, -1)
 
-    # Compact row-crossing queries (one bucket entry per position; a "both"
-    # entry runs the left descent as s1 and the right descent as s2).
-    M = max(cap // 8, 1024)
-    need = need_l | need_r
-    count = jnp.sum(need.astype(jnp.int32), axis=1)  # (B,)
-    key = jnp.where(need, 0, 1).astype(jnp.int32)
+    # Compact row-crossing queries into two half-buckets (left-side queries
+    # then right-side queries) so ONE descent with a per-entry side flag
+    # covers everything.
+    M = max(cap // 16, 1024)  # per side
+    count_l = jnp.sum(need_l.astype(jnp.int32), axis=1)  # (B,)
+    count_r = jnp.sum(need_r.astype(jnp.int32), axis=1)
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (vals - vals)
-    _, qpos, qboth, qleft = jax.lax.sort(
-        (
-            key,
-            slot_iota,
-            (need_l & need_r).astype(jnp.int32),
-            need_l.astype(jnp.int32),
-        ),
+    _, qpos_l = jax.lax.sort(
+        (jnp.where(need_l, 0, 1).astype(jnp.int32), slot_iota),
+        num_keys=1,
+        dimension=1,
+    )
+    _, qpos_r = jax.lax.sort(
+        (jnp.where(need_r, 0, 1).astype(jnp.int32), slot_iota),
         num_keys=1,
         dimension=1,
     )
@@ -225,20 +225,23 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
 
     def bucket_path(_):
         flat, L = _full_tables_batch(vals, cap)
-        qk = jnp.clip(qpos[:, :M], 0, cap - 1)
-        qb = qboth[:, :M] > 0
-        ql = qleft[:, :M] > 0
-        valid = jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
-        s1, v1 = _descend_batch(flat, L, vals, qk, ql, cap)
-        s2, v2 = _descend_batch(
-            flat, L, vals, qk, jnp.zeros((B, M), jnp.bool_), cap
+        qk = jnp.clip(
+            jnp.concatenate([qpos_l[:, :M], qpos_r[:, :M]], axis=1),
+            0,
+            cap - 1,
         )
-        ls = scat(lslot, valid & ql, qk, s1)
-        lv = scat(lval, valid & ql, qk, v1)
-        rs = scat(rslot, valid & ~ql, qk, s1)
-        rv = scat(rval, valid & ~ql, qk, v1)
-        rs = scat(rs, valid & qb, qk, s2)
-        rv = scat(rv, valid & qb, qk, v2)
+        mid = jnp.arange(M, dtype=jnp.int32)[None, :]
+        valid_l = mid < count_l[:, None]
+        valid_r = mid < count_r[:, None]
+        side = jnp.concatenate(
+            [jnp.ones((B, M), jnp.bool_), jnp.zeros((B, M), jnp.bool_)],
+            axis=1,
+        )
+        s, v = _descend_batch(flat, L, vals, qk, side, cap)
+        ls = scat(lslot, valid_l, qk[:, :M], s[:, :M])
+        lv = scat(lval, valid_l, qk[:, :M], v[:, :M])
+        rs = scat(rslot, valid_r, qk[:, M:], s[:, M:])
+        rv = scat(rval, valid_r, qk[:, M:], v[:, M:])
         return ls, lv, rs, rv
 
     def full_path(_):
@@ -256,4 +259,5 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
         rv = jnp.where(need_r, vr, rval)
         return ls, lv, rs, rv
 
-    return jax.lax.cond(jnp.max(count) <= M, bucket_path, full_path, 0)
+    fits = (jnp.max(count_l) <= M) & (jnp.max(count_r) <= M)
+    return jax.lax.cond(fits, bucket_path, full_path, 0)

@@ -91,8 +91,6 @@ def candidate_lcps_batch(
     L = int(ckpt.shape[1])
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     nb = n[:, None]
-    flat_ckpt = ckpt.reshape(-1)
-    crow = (jnp.arange(B, dtype=jnp.int32) * L * cap)[:, None]
     vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
 
     # ---- adjacent-LCP descent: lcp_adj[k] = LCP(sa[k-1], sa[k]), k in [1, n)
@@ -102,31 +100,31 @@ def candidate_lcps_batch(
     n_desc = jnp.maximum(n_levels - 1, 0)[:, None]  # (B, 1)
     p1 = jnp.minimum(n_desc, 7)
 
-    def descend(a_b, b_b, vmask, start, rounds, qrow):
-        """Shared descent: per-block level = start - 1 - t, masked when < 0."""
+    def descend(a_b, b_b, vmask, start, top: int):
+        """Descent with a STATIC unrolled level schedule (top-1 .. 0) and a
+        per-block active mask (lev < start). Gathering from the per-level
+        (B, cap) slice keeps the operand under TPU's ~128MB gather-throughput
+        cliff — the stacked (B, L, cap) table is ~1.6x slower per element."""
         m = a_b.shape[1]
-
-        def body(t, l):
-            lev = start - 1 - t  # (B, 1)
-            active = lev >= 0
-            lev_c = jnp.maximum(lev, 0)
-            h = jnp.int32(1) << lev_c
+        l = a_b - a_b
+        for lev in range(top - 1, -1, -1):
+            tab = ckpt[:, lev, :].reshape(-1)
+            h = jnp.int32(1 << lev)
             a = a_b + l
             b = b_b + l
-            fits = vmask & active & (a + h <= nb) & (b + h <= nb)
+            fits = vmask & (lev < start) & (a + h <= nb) & (b + h <= nb)
             q = jnp.concatenate(
                 [
-                    qrow + lev_c * cap + jnp.clip(a, 0, cap - 1),
-                    qrow + lev_c * cap + jnp.clip(b, 0, cap - 1),
+                    vrow + jnp.clip(a, 0, cap - 1),
+                    vrow + jnp.clip(b, 0, cap - 1),
                 ],
                 axis=1,
             )
-            g = flat_ckpt[q]
-            return jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
+            g = tab[q]
+            l = jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
+        return l
 
-        return jax.lax.fori_loop(0, rounds, body, a_b - a_b)
-
-    lcp_capped = descend(a_base, b_base, valid_k, p1, 7, crow)
+    lcp_capped = descend(a_base, b_base, valid_k, p1, 7)
     lcp_capped = jnp.where(valid_k, lcp_capped, 0)
 
     saturated = valid_k & (lcp_capped == 127) & (n_desc > 7)
@@ -135,7 +133,6 @@ def candidate_lcps_batch(
     key = jnp.where(saturated, 0, 1).astype(jnp.int32)
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (sa - sa)
     _, qk_all = jax.lax.sort((key, slot_iota), num_keys=1, dimension=1)
-    rounds_full = jnp.max(n_desc)
 
     def gat2(arr, q):
         return arr.reshape(-1)[vrow + q]
@@ -143,10 +140,7 @@ def candidate_lcps_batch(
     def bucket_path(_):
         qk = jnp.clip(qk_all[:, :M2], 0, cap - 1)
         validb = jnp.arange(M2, dtype=jnp.int32)[None, :] < count[:, None]
-        l2 = descend(
-            gat2(a_base, qk), gat2(b_base, qk), validb, n_desc, rounds_full,
-            crow,
-        )
+        l2 = descend(gat2(a_base, qk), gat2(b_base, qk), validb, n_desc, L)
         flat_idx = jnp.where(validb, vrow + qk, B * cap)
         return (
             lcp_capped.reshape(-1)
@@ -156,7 +150,7 @@ def candidate_lcps_batch(
         )
 
     def full_path(_):
-        l2 = descend(a_base, b_base, valid_k, n_desc, rounds_full, crow)
+        l2 = descend(a_base, b_base, valid_k, n_desc, L)
         return jnp.where(valid_k, l2, 0)
 
     lcp_adj = jax.lax.cond(jnp.max(count) <= M2, bucket_path, full_path, 0)
