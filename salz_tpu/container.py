@@ -76,6 +76,8 @@ class Codec:
     name: str
     encode_block: Callable[[bytes, int], bytes]  # (block, dst_cap) -> segment
     decode_block: Callable[[bytes, int], bytes]  # (segment, dst_cap) -> block
+    #: optional throughput path: (blocks, dst_cap) -> segments, in order
+    encode_blocks: Callable[[list, int], list] | None = None
 
 
 def get_codec(engine: str, block_size: int) -> Codec:
@@ -92,25 +94,53 @@ def get_codec(engine: str, block_size: int) -> Codec:
 
         return Codec("native", native.encode_block, native.decode_block)
     if engine == "jax":
+        import os
+
         from salz_tpu import native
-        from salz_tpu.ops.encoder import BlockEncoder
+        from salz_tpu.ops.encoder import BatchBlockEncoder, BlockEncoder
 
         enc = BlockEncoder(block_size)
+        batch = int(os.environ.get("SALZ_BATCH", "8"))
+        benc = BatchBlockEncoder(block_size, batch=batch)
         # Decode stays on the host scalar path (conformance/latency path);
         # the device decoder is exercised separately (salz_tpu.ops.decoder).
-        return Codec("jax", enc, native.decode_block)
+        return Codec("jax", enc, native.decode_block, benc.encode_many)
     raise ValueError(f"unknown engine {engine!r}")
 
 
 def compress_stream(
     inp: BinaryIO, out: BinaryIO, block_size: int, codec: Codec
 ) -> None:
-    """Reference-equivalent whole-file compression loop (salzcli.c:102-185)."""
+    """Reference-equivalent whole-file compression loop (salzcli.c:102-185).
+
+    Codecs with a batched throughput path get blocks in device-batch groups;
+    segments are written in input order either way, so the container bytes
+    are identical.
+    """
     dst_cap = fmt.encoded_len_max(block_size)
     write_file_header(out, block_size)
+    if codec.encode_blocks is None:
+        for block in iter_blocks(inp, block_size):
+            write_segment(out, codec.encode_block(block, dst_cap))
+        return
+    pending: list[bytes] = []
     for block in iter_blocks(inp, block_size):
-        segment = codec.encode_block(block, dst_cap)
-        write_segment(out, segment)
+        # Blocks the batch path cannot legally take (the reference-parity
+        # short/empty trailing block) go through the scalar path so the
+        # failure surfaces identically.
+        if len(block) < 8:
+            for seg in codec.encode_blocks(pending, dst_cap):
+                write_segment(out, seg)
+            pending = []
+            write_segment(out, codec.encode_block(block, dst_cap))
+            continue
+        pending.append(block)
+        if len(pending) >= 64:
+            for seg in codec.encode_blocks(pending, dst_cap):
+                write_segment(out, seg)
+            pending = []
+    for seg in codec.encode_blocks(pending, dst_cap):
+        write_segment(out, seg)
 
 
 def decompress_stream(inp: BinaryIO, out: BinaryIO, codec: Codec) -> int:

@@ -252,9 +252,11 @@ def emit_stream(
 
     # ---- PLAIN fallback (salz.c:755-767): strictly larger than plain + 4.
     use_plain = salz_len > block_len + 4
-    # Build the PLAIN layout: header + raw block bytes.
-    plain_out = jnp.zeros(out_cap, jnp.uint8)
-    plain_out = plain_out.at[4 + idx].set(block, mode="drop")
+    # PLAIN layout = header gap + raw block bytes: a concatenation (shift),
+    # not a scatter.
+    plain_out = jnp.concatenate(
+        [jnp.zeros(4, jnp.uint8), block, jnp.zeros(out_cap - 4 - cap, jnp.uint8)]
+    )
     plain_out = jnp.where(
         jnp.arange(out_cap) < block_len + 4, plain_out, 0
     ).astype(jnp.uint8)

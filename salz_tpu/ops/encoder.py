@@ -95,6 +95,61 @@ def encode_block_device(
     return out[0], out_len[0], salz_len[0]
 
 
+class BatchBlockEncoder:
+    """Host-side throughput wrapper: encodes lists of blocks in device
+    batches (the batch-native pipeline amortizes loop dispatch overheads
+    across the batch; single-block encode_block_device is the latency path).
+    """
+
+    def __init__(self, cap: int, batch: int = 8, parse: str = "chunked"):
+        if cap % 64 != 0:
+            raise ValueError("block capacity must be a multiple of 64")
+        self.cap = cap
+        self.batch = max(1, batch)
+        self.parse = parse
+        from salz_tpu.utils import jaxcache
+
+        jaxcache.enable()
+
+    def encode_many(
+        self, blocks: list[bytes], dst_cap: int | None = None
+    ) -> list[bytes]:
+        for blk in blocks:
+            if len(blk) < TAIL_RESERVE:
+                raise ValueError(
+                    f"block too short to encode ({len(blk)} < 8 bytes)"
+                )
+            if len(blk) > self.cap:
+                raise ValueError(f"block exceeds capacity {self.cap}")
+        segs: list[bytes] = []
+        for lo in range(0, len(blocks), self.batch):
+            group = blocks[lo : lo + self.batch]
+            B = len(group)
+            padded = np.zeros((self.batch, self.cap), np.uint8)
+            lens = np.full(self.batch, TAIL_RESERVE, np.int32)
+            for i, blk in enumerate(group):
+                padded[i, : len(blk)] = np.frombuffer(blk, np.uint8)
+                lens[i] = len(blk)
+            out, out_len, salz_len = encode_blocks_device(
+                jnp.asarray(padded),
+                jnp.asarray(lens),
+                cap=self.cap,
+                parse=self.parse,
+            )
+            out = np.asarray(out)
+            out_len = np.asarray(out_len)
+            salz_len = np.asarray(salz_len)
+            for i in range(B):
+                if dst_cap is not None and int(salz_len[i]) > dst_cap:
+                    # Reference parity: emission overflows the caller's buffer
+                    # before the PLAIN fallback is evaluated (salz.c:274-275).
+                    raise ValueError(
+                        "encoded stream exceeds destination capacity"
+                    )
+                segs.append(bytes(out[i, : int(out_len[i])]))
+        return segs
+
+
 class BlockEncoder:
     """Host-side convenience wrapper around the jitted device encoder."""
 

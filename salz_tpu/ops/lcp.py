@@ -156,7 +156,9 @@ def candidate_lcps_batch(
     lcp_adj = jax.lax.cond(jnp.max(count) <= M2, bucket_path, full_path, 0)
 
     # ---- RMQ sparse table over lcp_adj (shift+min only; stacked for the
-    # per-query dynamic level gather).
+    # per-query dynamic level gather — a masked "fast path" from a smaller
+    # operand does NOT pay off: masked gathers still cost full per-element
+    # price, so the plain 2-probe from the stacked table is optimal here).
     LR = max(1, (cap - 1).bit_length())
     tables = [lcp_adj]
     t = lcp_adj
