@@ -75,3 +75,23 @@ def test_lcp_saturation_fallback_cap4096(kind):
     enc = BlockEncoder(cap, parse="chunked")
     data = make_corpus(kind, cap - 6, seed=97)
     assert enc(data) == oc.encode_block(data)
+
+
+def test_batch_block_encoder_matches_oracle():
+    from salz_tpu.ops.encoder import BatchBlockEncoder
+
+    cap = 1024
+    enc = BatchBlockEncoder(cap, batch=3)
+    blocks = [make_corpus(k, n, seed=n) for k, n in
+              [("text", 1024), ("runs", 500), ("random", 64), ("text", 999),
+               ("zeros", 17)]]
+    segs = enc.encode_many(blocks)
+    assert segs == [oc.encode_block(b) for b in blocks]
+
+
+def test_batch_block_encoder_rejects_short_blocks():
+    from salz_tpu.ops.encoder import BatchBlockEncoder
+
+    enc = BatchBlockEncoder(1024, batch=2)
+    with pytest.raises(ValueError):
+        enc.encode_many([b"ok-block" * 4, b"abc"])
