@@ -100,14 +100,14 @@ def candidate_lcps_batch(
     n_desc = jnp.maximum(n_levels - 1, 0)[:, None]  # (B, 1)
     p1 = jnp.minimum(n_desc, 7)
 
-    def descend(a_b, b_b, vmask, start, top: int):
-        """Descent with a STATIC unrolled level schedule (top-1 .. 0) and a
-        per-block active mask (lev < start). Gathering from the per-level
+    def descend(a_b, b_b, vmask, start, top: int, bottom: int = 0):
+        """Descent with a STATIC unrolled level schedule (top-1 .. bottom) and
+        a per-block active mask (lev < start). Gathering from the per-level
         (B, cap) slice keeps the operand under TPU's ~128MB gather-throughput
         cliff — the stacked (B, L, cap) table is ~1.6x slower per element."""
         m = a_b.shape[1]
         l = a_b - a_b
-        for lev in range(top - 1, -1, -1):
+        for lev in range(top - 1, bottom - 1, -1):
             tab = ckpt[:, lev, :].reshape(-1)
             h = jnp.int32(1 << lev)
             a = a_b + l
@@ -124,10 +124,47 @@ def candidate_lcps_batch(
             l = jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
         return l
 
-    lcp_capped = descend(a_base, b_base, valid_k, p1, 7)
-    lcp_capped = jnp.where(valid_k, lcp_capped, 0)
+    # Capped descent, levels 6..3 only: the final 8 bytes are resolved by a
+    # DIRECT text comparison (two big-endian u32 word probes per side from
+    # small (B, cap) operands) — ground truth, so it needs no rank levels and
+    # costs 4 probe-sets instead of the 6 that levels 2..0 would. The text
+    # bytes come from checkpoint level 0 (= byte value for i < n).
+    byte = jnp.where(idx < nb, ckpt[:, 0, :], 0) & 0xFF
 
-    saturated = valid_k & (lcp_capped == 127) & (n_desc > 7)
+    def _sh(k):
+        return jnp.concatenate(
+            [byte[:, k:], jnp.zeros((B, k), jnp.int32)], axis=1
+        )
+
+    t32a = (byte << 24) | (_sh(1) << 16) | (_sh(2) << 8) | _sh(3)
+    t32b = (_sh(4) << 24) | (_sh(5) << 16) | (_sh(6) << 8) | _sh(7)
+
+    def tail8(a_b, b_b, l, vmask):
+        a = a_b + l
+        b = b_b + l
+        qa = jnp.concatenate(
+            [vrow + jnp.clip(a, 0, cap - 1), vrow + jnp.clip(b, 0, cap - 1)],
+            axis=1,
+        )
+        m = a_b.shape[1]
+        ga = t32a.reshape(-1)[qa]
+        gb = t32b.reshape(-1)[qa]
+        xa = ga[:, :m] ^ ga[:, m:]
+        xb = gb[:, :m] ^ gb[:, m:]
+        ma = jax.lax.clz(xa) >> 3  # 4 when equal (clz(0) = 32)
+        mb = jnp.minimum(jax.lax.clz(xb) >> 3, 4)
+        match = ma + jnp.where(ma == 4, mb, 0)
+        limit = nb - jnp.maximum(a, b)
+        return jnp.where(
+            vmask, jnp.clip(jnp.minimum(match, limit), 0, 8), 0
+        )
+
+    l_hi = descend(a_base, b_base, valid_k, p1, 7, bottom=3)
+    lcp_capped = jnp.where(
+        valid_k, l_hi + tail8(a_base, b_base, l_hi, valid_k), 0
+    )
+
+    saturated = valid_k & (lcp_capped == 128) & (n_desc > 7)
     count = jnp.sum(saturated.astype(jnp.int32), axis=1)  # (B,)
     M2 = max(cap // 32, 1024)
     key = jnp.where(saturated, 0, 1).astype(jnp.int32)
