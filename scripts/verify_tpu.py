@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""On-device verification sweep: every-block conformance + kernel parity.
+
+CPU pytest cannot reach the TPU-only Pallas paths (token starts, in-row
+ANSV, parse fixpoint kernels), so this script drives them on the real chip:
+
+  1. batch encode at several (cap, batch) shapes, EVERY block compared
+     byte-for-byte against the native C++ codec (+ roundtrip);
+  2. Pallas token-starts vs the XLA pointer-doubling path on random parses;
+  3. Pallas ANSV (in-row kernel + bucket descent) vs the XLA descent,
+     including adversarial monotone/vee permutations.
+
+Run: python scripts/verify_tpu.py   (exits non-zero on any mismatch)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from salz_tpu.utils import jaxcache
+
+jaxcache.enable()
+
+import jax
+import jax.numpy as jnp
+
+from bench import make_corpus
+from salz_tpu import native
+from salz_tpu.ops.encoder import encode_blocks_device
+from salz_tpu.parallel.sharding import pad_blocks
+
+FAIL = 0
+
+
+def check(name, ok):
+    global FAIL
+    print(f"{'PASS' if ok else 'FAIL'}  {name}", flush=True)
+    if not ok:
+        FAIL = 1
+
+
+def conformance():
+    for cap, B in ((1 << 12, 8), (1 << 15, 3), (1 << 16, 4)):
+        corpus = make_corpus(B * cap)
+        blocks = [corpus[i : i + cap] for i in range(0, len(corpus), cap)]
+        b, l = pad_blocks(blocks, cap)
+        outs, out_lens, _ = encode_blocks_device(
+            jnp.asarray(b), jnp.asarray(l), cap=cap
+        )
+        bad = [
+            i
+            for i, blk in enumerate(blocks)
+            if bytes(np.asarray(outs[i])[: int(out_lens[i])])
+            != native.encode_block(blk)
+            or native.decode_block(
+                bytes(np.asarray(outs[i])[: int(out_lens[i])]), cap
+            )
+            != blk
+        ]
+        check(f"every-block conformance cap={cap} B={B}", not bad)
+
+
+def starts_parity():
+    from salz_tpu.ops.emit import token_starts_xla
+    from salz_tpu.ops.starts import token_starts_chunked
+
+    rng = np.random.default_rng(7)
+    cap = 1 << 15
+    ok = True
+    for trial in range(4):
+        n = int(rng.integers(cap // 2, cap - 8)) if trial else cap - 8
+        length = np.ones(cap, np.int32)
+        fac = rng.random(cap) < 0.3
+        length[fac] = rng.integers(3, 40, fac.sum())
+        huge = rng.random(cap) < 0.001
+        length[huge] = rng.integers(100, 5000, huge.sum())
+        a = token_starts_xla(jnp.asarray(length), jnp.int32(n), cap=cap)
+        b = token_starts_chunked(jnp.asarray(length), jnp.int32(n), cap=cap)
+        ok &= bool(jnp.all(a == b))
+    check("pallas token starts == xla", ok)
+
+
+def ansv_parity():
+    from salz_tpu.ops.ansv import _ansv_slots_batch, _INF
+    from salz_tpu.ops.ansv_tpu import ansv_slots_vals_tpu_batch
+
+    rng = np.random.default_rng(3)
+    cap = 1 << 14
+    cases = []
+    n = cap - 8
+    cases.append(rng.permutation(n).astype(np.int64))
+    cases.append(np.arange(n, dtype=np.int64))
+    cases.append(np.arange(n, dtype=np.int64)[::-1].copy())
+    R = cap // 128
+    v = ((127 - np.arange(128)[None, :]) * R + np.arange(R)[:, None]).astype(
+        np.int64
+    ).reshape(-1)[:n]
+    order = np.argsort(v, kind="stable")
+    perm = np.empty(n, np.int64)
+    perm[order] = np.arange(n)
+    cases.append(perm)  # in-row descending -> bucket overflow -> fallback
+
+    ok = True
+    for arr in cases:
+        vals_np = np.full(cap, 2**31 - 1, np.int64)
+        vals_np[:n] = arr
+        vals = jnp.asarray(vals_np.astype(np.int32))[None]
+        nn = jnp.asarray([n], np.int32)
+        ls0, rs0 = _ansv_slots_batch(vals, nn, cap=cap)
+        ls1, _, rs1, _ = ansv_slots_vals_tpu_batch(vals, nn, cap=cap)
+        ok &= bool(
+            np.array_equal(np.asarray(ls0)[0, :n], np.asarray(ls1)[0, :n])
+            and np.array_equal(np.asarray(rs0)[0, :n], np.asarray(rs1)[0, :n])
+        )
+    check("pallas ANSV == xla (incl. adversarial)", ok)
+
+
+if __name__ == "__main__":
+    print(f"devices: {jax.devices()}", flush=True)
+    conformance()
+    starts_parity()
+    ansv_parity()
+    sys.exit(FAIL)
