@@ -136,22 +136,17 @@ def _ansv_slots_batch(vals, n, *, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def psv_nsv_full_batch(sa: jax.Array, n: jax.Array, *, cap: int):
-    """PSV/NSV positions, slots, and ranks in TEXT order, batched.
+def ansv_slots_vals_batch(vals: jax.Array, n: jax.Array, *, cap: int):
+    """Nearest-smaller (slot, value) per SA slot, both sides, SLOT order.
 
     Args:
-      sa: int32[B, cap]; sa[b, :n[b]] is the suffix array of block b.
+      vals: int32[B, cap]; SA values with padded slots set to INF.
       n: int32[B] dynamic valid lengths.
     Returns:
-      (psv, nsv, left_slot, right_slot, rank): int32[B, cap] each, TEXT
-      order; entries >= n are undefined. psv/nsv are text positions (-1 =
-      absent); left_slot/right_slot are SA-slot indices of those candidates
-      (-1 = absent); rank is the SA slot of each text position.
+      (lslot, psv_val, rslot, nsv_val): int32[B, cap] each, slot order;
+      slots/values are -1 where no smaller value exists on that side.
     """
-    B = sa.shape[0]
-    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    valid = idx < n[:, None]
-    vals = jnp.where(valid, sa, _INF)
+    B = vals.shape[0]
     if jax.default_backend() == "tpu" and cap % 1024 == 0:
         from salz_tpu.ops.ansv_tpu import ansv_slots_vals_tpu_batch
 
@@ -176,6 +171,29 @@ def psv_nsv_full_batch(sa: jax.Array, n: jax.Array, *, cap: int):
         nsv_val = jnp.where(
             (right_slot >= 0) & (g[:, cap:] != _INF), g[:, cap:], -1
         )
+    return left_slot, psv_val, right_slot, nsv_val
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def psv_nsv_full_batch(sa: jax.Array, n: jax.Array, *, cap: int):
+    """PSV/NSV positions, slots, and ranks in TEXT order, batched.
+
+    Args:
+      sa: int32[B, cap]; sa[b, :n[b]] is the suffix array of block b.
+      n: int32[B] dynamic valid lengths.
+    Returns:
+      (psv, nsv, left_slot, right_slot, rank): int32[B, cap] each, TEXT
+      order; entries >= n are undefined. psv/nsv are text positions (-1 =
+      absent); left_slot/right_slot are SA-slot indices of those candidates
+      (-1 = absent); rank is the SA slot of each text position.
+    """
+    B = sa.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = idx < n[:, None]
+    vals = jnp.where(valid, sa, _INF)
+    left_slot, psv_val, right_slot, nsv_val = ansv_slots_vals_batch(
+        vals, n, cap=cap
+    )
 
     # Scatter everything from SA order to text order with ONE stable sort
     # per block keyed by the text position (sorts beat 1-D scatters on TPU).

@@ -16,14 +16,14 @@ import numpy as np
 
 from salz_tpu import format as fmt
 from salz_tpu.format import TAIL_RESERVE
-from salz_tpu.ops.ansv import psv_nsv_full_batch
+from salz_tpu.ops.ansv import ansv_slots_vals_batch
 from salz_tpu.ops.emit import emit_stream
-from salz_tpu.ops.lcp import candidate_lcps_batch
+from salz_tpu.ops.lcp import adjacent_lcp_batch, candidate_lengths_slot_batch
 from salz_tpu.ops.parse import (
     optimal_parse_chunked_batch,
     optimal_parse_sequential,
 )
-from salz_tpu.ops.suffix_array import suffix_array_with_ranks
+from salz_tpu.ops.suffix_array import suffix_array_prefixes
 
 
 def out_capacity(cap: int) -> int:
@@ -53,14 +53,27 @@ def encode_blocks_device(
     ns = block_lens - TAIL_RESERVE
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
-    sa, ckpt, n_levels = jax.vmap(
-        lambda b, n: suffix_array_with_ranks(b, n, cap=cap)
+    sa, ckpt, n_levels, t32, p32 = jax.vmap(
+        lambda b, n: suffix_array_prefixes(b, n, cap=cap)
     )(blocks, ns)
-    psv_pos, nsv_pos, lslot, rslot, rank = psv_nsv_full_batch(sa, ns, cap=cap)
 
-    psv_len, nsv_len = candidate_lcps_batch(
-        ckpt, n_levels, ns, sa, lslot, rslot, rank, cap=cap
+    # Slot-order middle stages (ANSV, adjacent LCPs, candidate range-mins),
+    # then ONE sort carries everything to text order (sorts beat scatters
+    # and per-stage gathers on TPU).
+    valid = idx < ns[:, None]
+    vals = jnp.where(valid, sa, jnp.int32(2**31 - 1))
+    lslot, psv_val, rslot, nsv_val = ansv_slots_vals_batch(vals, ns, cap=cap)
+    lcp_adj = adjacent_lcp_batch(ckpt, ns, sa, t32, p32, cap=cap)
+    psv_len_s, nsv_len_s = candidate_lengths_slot_batch(
+        lcp_adj, lslot, rslot, ns, cap=cap
     )
+    dest = jnp.where(valid, sa, cap)
+    _, psv_pos, nsv_pos, psv_len, nsv_len = jax.lax.sort(
+        (dest, psv_val, nsv_val, psv_len_s, nsv_len_s),
+        num_keys=1,
+        dimension=1,
+    )
+
     psv_offs = idx - psv_pos  # = pos+1 when absent, mirroring salz.c:555
     nsv_offs = idx - nsv_pos
 

@@ -1,15 +1,34 @@
-"""Arbitrary-pair LCP queries from doubling-rank checkpoints.
+"""Adjacent-suffix LCPs and PSV/NSV candidate lengths, slot-order TPU path.
 
 TPU-parallel replacement for the reference's sequential seeded LCP scan
-(salz.c:492-514 + the prev_len-1 skip at salz.c:524,530): with the rank
-checkpoints produced during suffix-array doubling, the LCP of any two suffixes
-is computed by a binary descent — add 2^k to the running match length whenever
-the level-k ranks agree and both blocks fit in the text. All queries run as
-log(n) rounds of dense gathers, independent per position.
+(salz.c:492-514 + the prev_len-1 skip at salz.c:524,530). Pipeline:
 
-The result equals the reference's value exactly: its seeded compare returns the
-true LCP capped at n - max(i, j) (the KKP skip never changes the outcome, see
-FORMAT.md §1.7), and the binary descent computes precisely that.
+  1. `adjacent_lcp_batch` — lcp_adj[k] = LCP(sa[k-1], sa[k]) for every SA
+     slot k. The first 16 bytes of both suffixes arrive as SLOT-ORDER payloads
+     of the suffix-array sort (salz_tpu/ops/suffix_array.py), so pairs with
+     LCP < 16 are resolved by SHIFTED-SLICE compares — zero gathers. The
+     survivors (measured 7-40% on binary/text corpora) are compacted into a
+     cap/2 bucket and run a capped rank-checkpoint descent (levels 6..4 from
+     offset 16) plus an 8-byte direct text probe, reaching 136; the rare
+     saturated pairs escalate to an exact full descent in a cap/32 bucket.
+     Batch-level lax.cond falls back to uncompacted descents on overflow —
+     exactness always.
+
+  2. `candidate_lengths_slot_batch` — psv_len/nsv_len per SA slot k via the
+     LCP-interval identity: LCP(sa[k], sa[lslot[k]]) = min lcp_adj(lslot[k],
+     k]. Most ranges lie within k's own 128-slot row (the same locality the
+     ANSV in-row kernel exploits), so a Pallas kernel answers them with
+     row-local sparse tables and lane gathers; row-crossing ranges are
+     compacted and answered by a two-level decomposition (row suffix/prefix
+     minima + a sparse table over per-row minima) — no O(cap log cap) global
+     RMQ table is ever materialized.
+
+The results equal the reference's factorize() values exactly: its seeded
+compare returns the true LCP capped at n - max(i, j) (FORMAT.md §1.7), and
+both identities above compute precisely that.
+
+Everything is BATCH-NATIVE: (B, cap) arrays, flat 1-D gathers with per-block
+offsets, batch-level conds (vmapped gathers/conds are far slower on TPU).
 """
 
 from __future__ import annotations
@@ -18,6 +37,19 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = jnp.int32(2**30)
+_INT_INF = 2**30
+_C = 128
+_LOGC = 7
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-pair LCP (conformance/test utility; the pipeline uses the
+# adjacent+range-min identity below)
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -46,175 +78,350 @@ def pair_lcp(ckpt: jax.Array, n: jax.Array, i: jax.Array, j: jax.Array, *, cap: 
     return jnp.where(valid, l, 0)
 
 
+# ---------------------------------------------------------------------------
+# adjacent-pair LCP array (slot order)
+# ---------------------------------------------------------------------------
+
+
+def _match32(x, y):
+    """Per-element match length (0..4 bytes) of two BE-packed u32 words."""
+    return jnp.minimum(jax.lax.clz(x ^ y) >> 3, 4)  # clz(0) = 32 -> 4
+
+
+def _descend_levels(ckpt, nb, vrow, a, b, l0, vmask, levels, *, cap: int):
+    """Capped checkpoint descent: add 2^lev when ranks at (a+l, b+l) agree.
+
+    `levels` is a STATIC descending schedule; ckpt levels never filled hold
+    all-distinct values, so their equality tests are vacuously false.
+    """
+    m = a.shape[1]
+    l = l0
+    for lev in levels:
+        tab = ckpt[:, lev, :].reshape(-1)
+        h = jnp.int32(1 << lev)
+        ai = a + l
+        bi = b + l
+        fits = vmask & (ai + h <= nb) & (bi + h <= nb)
+        q = jnp.concatenate(
+            [vrow + jnp.clip(ai, 0, cap - 1), vrow + jnp.clip(bi, 0, cap - 1)],
+            axis=1,
+        )
+        g = tab[q]
+        l = jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
+    return l
+
+
+def _tail8(t32f, nb, vrow, a, b, l, vmask, *, cap: int):
+    """Exact min(remaining LCP, 8) by direct text probe at offset l.
+
+    t32f: (2, B*cap) flat packed-byte tables (bytes x..x+3 / x+4..x+7)."""
+    m = a.shape[1]
+    ai = a + l
+    bi = b + l
+    q = jnp.concatenate(
+        [vrow + jnp.clip(ai, 0, cap - 1), vrow + jnp.clip(bi, 0, cap - 1)],
+        axis=1,
+    )
+    ga = t32f[0][q]
+    gb = t32f[1][q]
+    ma = _match32(ga[:, :m], ga[:, m:])
+    mb = _match32(gb[:, :m], gb[:, m:])
+    match = ma + jnp.where(ma == 4, mb, 0)
+    limit = nb - jnp.maximum(ai, bi)
+    return jnp.where(vmask, jnp.clip(jnp.minimum(match, limit), 0, 8), 0)
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
-def candidate_lcps_batch(
+def adjacent_lcp_batch(
     ckpt: jax.Array,
-    n_levels: jax.Array,
     n: jax.Array,
     sa: jax.Array,
-    lslot: jax.Array,
-    rslot: jax.Array,
-    rank: jax.Array,
+    t32: jax.Array,
+    p32: jax.Array,
     *,
     cap: int,
 ):
-    """PSV/NSV candidate match lengths via adjacent-LCP + RMQ, batched.
-
-    TPU-optimized replacement for two full `pair_lcp` descents: the LCP of a
-    suffix with its PSV/NSV candidate equals the range-min of the
-    lexicographically-adjacent LCP array between their SA slots (the classic
-    LCP-interval identity), so only ONE descent (for adjacent pairs) plus an
-    RMQ sparse table built from shifted slices (no gathers) and one fused
-    query gather per side are needed.
-
-    The adjacent-pair descent is further split into a CAPPED descent (levels
-    <= 6, giving min(lcp, 127) for everyone) plus an exact descent for the
-    few saturated pairs, compacted into a cap/32 bucket — most adjacent LCPs
-    are short, so the expensive high-level full-size gathers would be wasted.
-    A batch-level lax.cond falls back to the full-size descent if any block's
-    bucket overflows (highly repetitive data) — exactness always.
-
-    Batch-native: (B, ...) arrays, flat 1-D gathers with per-block offsets
-    (vmapped gathers and vmapped cond are far slower on TPU).
+    """lcp_adj int32[B, cap] in SLOT order: entry k = LCP(sa[k-1], sa[k]) for
+    k in [1, n); entries outside are 0.
 
     Args:
-      ckpt: int32[B, L, cap] rank checkpoints (per block).
-      n_levels: int32[B] filled checkpoint levels per block.
-      n: int32[B] valid lengths.
-      sa: int32[B, cap] suffix arrays (slot order).
-      lslot, rslot, rank: int32[B, cap] from psv_nsv_full_batch (text order).
-    Returns:
-      (psv_len, nsv_len): int32[B, cap] in text order; 0 where absent.
-      Entries at text positions >= n are undefined.
+      ckpt: int32[B, L, cap] rank checkpoints.
+      sa: int32[B, cap] suffix arrays.
+      t32: int32[B, 2, cap] text-order packed byte windows (+0..3 / +4..7).
+      p32: int32[B, 4, cap] slot-order packed 16-byte suffix prefixes.
     """
     B = sa.shape[0]
     L = int(ckpt.shape[1])
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     nb = n[:, None]
     vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
+    t32f = t32.transpose(1, 0, 2).reshape(2, -1)
 
-    # ---- adjacent-LCP descent: lcp_adj[k] = LCP(sa[k-1], sa[k]), k in [1, n)
     a_base = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), sa[:, :-1]], axis=1)
     b_base = sa
     valid_k = (idx >= 1) & (idx < nb)
-    n_desc = jnp.maximum(n_levels - 1, 0)[:, None]  # (B, 1)
-    p1 = jnp.minimum(n_desc, 7)
+    limit = nb - jnp.maximum(a_base, b_base)
 
-    def descend(a_b, b_b, vmask, start, top: int, bottom: int = 0):
-        """Descent with a STATIC unrolled level schedule (top-1 .. bottom) and
-        a per-block active mask (lev < start). Gathering from the per-level
-        (B, cap) slice keeps the operand under TPU's ~128MB gather-throughput
-        cliff — the stacked (B, L, cap) table is ~1.6x slower per element."""
-        m = a_b.shape[1]
-        l = a_b - a_b
-        for lev in range(top - 1, bottom - 1, -1):
-            tab = ckpt[:, lev, :].reshape(-1)
-            h = jnp.int32(1 << lev)
-            a = a_b + l
-            b = b_b + l
-            fits = vmask & (lev < start) & (a + h <= nb) & (b + h <= nb)
-            q = jnp.concatenate(
-                [
-                    vrow + jnp.clip(a, 0, cap - 1),
-                    vrow + jnp.clip(b, 0, cap - 1),
-                ],
-                axis=1,
-            )
-            g = tab[q]
-            l = jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
-        return l
+    # ---- free 16-byte compare: adjacent pairs differ by ONE slot, so both
+    # sides of every compare are shifted slices of the carried prefixes.
+    def _adj(w):  # value of word w at slot k-1
+        return jnp.concatenate([jnp.zeros((B, 1), jnp.int32), w[:, :-1]], axis=1)
 
-    # Capped descent, levels 6..3 only: the final 8 bytes are resolved by a
-    # DIRECT text comparison (two big-endian u32 word probes per side from
-    # small (B, cap) operands) — ground truth, so it needs no rank levels and
-    # costs 4 probe-sets instead of the 6 that levels 2..0 would. The text
-    # bytes come from checkpoint level 0 (= byte value for i < n).
-    byte = jnp.where(idx < nb, ckpt[:, 0, :], 0) & 0xFF
+    l16 = jnp.zeros((B, cap), jnp.int32)
+    run = jnp.ones((B, cap), jnp.bool_)
+    for w in range(4):
+        mw = _match32(_adj(p32[:, w, :]), p32[:, w, :])
+        l16 = l16 + jnp.where(run, mw, 0)
+        run = run & (mw == 4)
+    lcp_free = jnp.where(valid_k, jnp.minimum(l16, limit), 0)
 
-    def _sh(k):
-        return jnp.concatenate(
-            [byte[:, k:], jnp.zeros((B, k), jnp.int32)], axis=1
-        )
+    survivor = valid_k & (l16 >= 16) & (limit > 16)
+    count1 = jnp.sum(survivor.astype(jnp.int32), axis=1)
+    M1 = max(cap // 2, 1024)
 
-    t32a = (byte << 24) | (_sh(1) << 16) | (_sh(2) << 8) | _sh(3)
-    t32b = (_sh(4) << 24) | (_sh(5) << 16) | (_sh(6) << 8) | _sh(7)
-
-    def tail8(a_b, b_b, l, vmask):
-        a = a_b + l
-        b = b_b + l
-        qa = jnp.concatenate(
-            [vrow + jnp.clip(a, 0, cap - 1), vrow + jnp.clip(b, 0, cap - 1)],
-            axis=1,
-        )
-        m = a_b.shape[1]
-        ga = t32a.reshape(-1)[qa]
-        gb = t32b.reshape(-1)[qa]
-        xa = ga[:, :m] ^ ga[:, m:]
-        xb = gb[:, :m] ^ gb[:, m:]
-        ma = jax.lax.clz(xa) >> 3  # 4 when equal (clz(0) = 32)
-        mb = jnp.minimum(jax.lax.clz(xb) >> 3, 4)
-        match = ma + jnp.where(ma == 4, mb, 0)
-        limit = nb - jnp.maximum(a, b)
-        return jnp.where(
-            vmask, jnp.clip(jnp.minimum(match, limit), 0, 8), 0
-        )
-
-    l_hi = descend(a_base, b_base, valid_k, p1, 7, bottom=3)
-    lcp_capped = jnp.where(
-        valid_k, l_hi + tail8(a_base, b_base, l_hi, valid_k), 0
+    slot_iota = jnp.broadcast_to(idx, (B, cap)) + (sa - sa)
+    _, qk_all, qa_all, qb_all = jax.lax.sort(
+        (jnp.where(survivor, 0, 1).astype(jnp.int32), slot_iota, a_base, b_base),
+        num_keys=1,
+        dimension=1,
     )
 
-    saturated = valid_k & (lcp_capped == 128) & (n_desc > 7)
-    count = jnp.sum(saturated.astype(jnp.int32), axis=1)  # (B,)
+    # Descend to level 3 so the unresolved remainder is < 8 — exactly what
+    # one 8-byte tail probe resolves. Cap = 16 + 120 + 8 = 144.
+    capped_levels = [6, 5, 4, 3]
+    sat_cap = 16 + sum(1 << l for l in capped_levels) + 8
     M2 = max(cap // 32, 1024)
-    key = jnp.where(saturated, 0, 1).astype(jnp.int32)
-    slot_iota = jnp.broadcast_to(idx, (B, cap)) + (sa - sa)
-    _, qk_all = jax.lax.sort((key, slot_iota), num_keys=1, dimension=1)
 
-    def gat2(arr, q):
-        return arr.reshape(-1)[vrow + q]
+    def _exact_saturated(lcp_c, a, b, vmask, *, rows: int):
+        """Escalate entries of lcp_c that hit sat_cap to the exact value via
+        a full descent, compacted into an M2 bucket (cond: full on overflow).
+        Returns lcp_c with saturated entries replaced."""
+        limit_q = nb - jnp.maximum(a, b)
+        sat = vmask & (lcp_c == sat_cap) & (limit_q > sat_cap)
+        cnt = jnp.sum(sat.astype(jnp.int32), axis=1)
+        riota = jnp.arange(rows, dtype=jnp.int32)[None, :] + (a - a)
+        _, rk, ra, rb = jax.lax.sort(
+            (jnp.where(sat, 0, 1).astype(jnp.int32), riota, a, b),
+            num_keys=1,
+            dimension=1,
+        )
+        rrow = (jnp.arange(B, dtype=jnp.int32) * rows)[:, None]
+
+        def bucket(_):
+            validb = jnp.arange(M2, dtype=jnp.int32)[None, :] < cnt[:, None]
+            l2 = _descend_levels(
+                ckpt, nb, vrow, ra[:, :M2], rb[:, :M2],
+                jnp.zeros((B, M2), jnp.int32), validb,
+                list(range(L - 1, -1, -1)), cap=cap,
+            )
+            flat = jnp.where(validb, rrow + jnp.clip(rk[:, :M2], 0, rows - 1), B * rows)
+            return (
+                lcp_c.reshape(-1)
+                .at[flat.reshape(-1)]
+                .set(l2.reshape(-1), mode="drop")
+                .reshape(B, rows)
+            )
+
+        def full(_):
+            l2 = _descend_levels(
+                ckpt, nb, vrow, a, b, jnp.zeros((B, rows), jnp.int32), sat,
+                list(range(L - 1, -1, -1)), cap=cap,
+            )
+            return jnp.where(sat, l2, lcp_c)
+
+        return jax.lax.cond(jnp.max(cnt) <= M2, bucket, full, 0)
 
     def bucket_path(_):
-        qk = jnp.clip(qk_all[:, :M2], 0, cap - 1)
-        validb = jnp.arange(M2, dtype=jnp.int32)[None, :] < count[:, None]
-        l2 = descend(gat2(a_base, qk), gat2(b_base, qk), validb, n_desc, L)
-        flat_idx = jnp.where(validb, vrow + qk, B * cap)
+        qk = jnp.clip(qk_all[:, :M1], 0, cap - 1)
+        qa = qa_all[:, :M1]
+        qb = qb_all[:, :M1]
+        validb = jnp.arange(M1, dtype=jnp.int32)[None, :] < count1[:, None]
+        l0 = jnp.full((B, M1), 16, jnp.int32)
+        l1 = _descend_levels(ckpt, nb, vrow, qa, qb, l0, validb, capped_levels, cap=cap)
+        l1 = l1 + _tail8(t32f, nb, vrow, qa, qb, l1, validb, cap=cap)
+        l1 = _exact_saturated(l1, qa, qb, validb, rows=M1)
+        limit_q = nb - jnp.maximum(qa, qb)
+        l1 = jnp.minimum(l1, limit_q)
+        flat = jnp.where(validb, vrow + qk, B * cap)
         return (
-            lcp_capped.reshape(-1)
-            .at[flat_idx.reshape(-1)]
-            .set(l2.reshape(-1), mode="drop")
+            lcp_free.reshape(-1)
+            .at[flat.reshape(-1)]
+            .set(l1.reshape(-1), mode="drop")
             .reshape(B, cap)
         )
 
     def full_path(_):
-        l2 = descend(a_base, b_base, valid_k, n_desc, L)
-        return jnp.where(valid_k, l2, 0)
+        l0 = jnp.full((B, cap), 16, jnp.int32)
+        l1 = _descend_levels(
+            ckpt, nb, vrow, a_base, b_base, l0, survivor, capped_levels, cap=cap
+        )
+        l1 = l1 + _tail8(t32f, nb, vrow, a_base, b_base, l1, survivor, cap=cap)
+        l1 = _exact_saturated(l1, a_base, b_base, survivor, rows=cap)
+        l1 = jnp.minimum(l1, limit)
+        return jnp.where(survivor, l1, lcp_free)
 
-    lcp_adj = jax.lax.cond(jnp.max(count) <= M2, bucket_path, full_path, 0)
+    return jax.lax.cond(jnp.max(count1) <= M1, bucket_path, full_path, 0)
 
-    # ---- RMQ sparse table over lcp_adj (shift+min only; stacked for the
-    # per-query dynamic level gather — a masked "fast path" from a smaller
-    # operand does NOT pay off: masked gathers still cost full per-element
-    # price, so the plain 2-probe from the stacked table is optimal here).
+
+# ---------------------------------------------------------------------------
+# PSV/NSV candidate lengths via range-min over lcp_adj (slot order)
+# ---------------------------------------------------------------------------
+
+
+def _shift_left(a, h, fill):
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    rolled = pltpu.roll(a, shift=_C - h, axis=1)
+    return jnp.where(lane < _C - h, rolled, fill)
+
+
+def _shift_right(a, h, fill):
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    rolled = pltpu.roll(a, shift=h, axis=1)
+    return jnp.where(lane >= h, rolled, fill)
+
+
+def _inrow_rangemin_kernel(
+    lcp_ref, lslot_ref, rslot_ref,
+    psv_ref, nsv_ref, suf_ref, pre_ref, *, R: int
+):
+    """Answer range-min queries whose range lies within the slot's own
+    128-lane row; emit row suffix/prefix minima for the crossing bucket.
+
+    For slot k (global-in-block s = base+lane): psv range is
+    lcp[lslot+1 .. s], nsv range is lcp[s+1 .. rslot]. In-row iff
+    lslot >= base-1 (psv) / rslot <= base+127 (nsv). Out-of-range lanes get
+    INF; the caller selects."""
+    br = lcp_ref.shape[0]
+    r0 = pl.program_id(0) * br
+    x = lcp_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 1)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 0) + r0
+    base = (grow % R) * _C
+
+    # Row-local sparse tables: tabs[l][j] = min(x[j : j+2^l]).
+    tabs = [x]
+    t = x
+    for l in range(1, _LOGC + 1):
+        t = jnp.minimum(t, _shift_left(t, 1 << (l - 1), _INT_INF))
+        tabs.append(t)
+
+    # Row suffix/prefix minima (outputs for the crossing-bucket path).
+    sm = x
+    pm = x
+    for h in (1, 2, 4, 8, 16, 32, 64):
+        sm = jnp.minimum(sm, _shift_left(sm, h, _INT_INF))
+        pm = jnp.minimum(pm, _shift_right(pm, h, _INT_INF))
+    suf_ref[:] = sm
+    pre_ref[:] = pm
+
+    def level_of(d):  # floor(log2(d)) for d in [1, 128]
+        j = jnp.zeros_like(d)
+        for l in range(1, _LOGC + 1):
+            j = jnp.where(d >= (1 << l), l, j)
+        return j
+
+    lsl = lslot_ref[:]
+    rsl = rslot_ref[:]
+
+    # ---- psv: lo = lsl+1-base (dynamic), hi = lane (static).
+    in_p = (lsl >= base - 1) & (lsl >= 0)
+    lo_p = jnp.clip(lsl + 1 - base, 0, _C - 1)
+    d_p = jnp.clip(lane - lo_p + 1, 1, _C)
+    j_p = level_of(d_p)
+    res_p = jnp.full((br, _C), _INT_INF, jnp.int32)
+    for l in range(_LOGC + 1):
+        g1 = jnp.take_along_axis(tabs[l], lo_p, axis=1)
+        g2 = _shift_right(tabs[l], (1 << l) - 1, _INT_INF) if l else tabs[l]
+        res_p = jnp.where(j_p == l, jnp.minimum(g1, g2), res_p)
+    psv_ref[:] = jnp.where(in_p, res_p, _INT_INF)
+
+    # ---- nsv: lo = lane+1 (static), hi = rsl-base (dynamic).
+    in_n = (rsl >= 0) & (rsl - base <= _C - 1)
+    hi_n = jnp.clip(rsl - base, 0, _C - 1)
+    d_n = jnp.clip(hi_n - lane, 1, _C)
+    j_n = level_of(d_n)
+    res_n = jnp.full((br, _C), _INT_INF, jnp.int32)
+    for l in range(_LOGC + 1):
+        g1 = _shift_left(tabs[l], 1, _INT_INF)
+        g2 = jnp.take_along_axis(tabs[l], jnp.clip(hi_n - (1 << l) + 1, 0, _C - 1), axis=1)
+        res_n = jnp.where(j_n == l, jnp.minimum(g1, g2), res_n)
+    nsv_ref[:] = jnp.where(in_n, res_n, _INT_INF)
+
+
+def _rowmin_tables(lcp_adj, *, cap: int):
+    """Per-row minima sparse table: (B, LR+1, R) with R = cap/128 rows."""
+    B = lcp_adj.shape[0]
+    R = cap // _C
+    rowmin = lcp_adj.reshape(B, R, _C).min(axis=2)
+    LR = max(1, (R - 1).bit_length())
+    tabs = [rowmin]
+    t = rowmin
+    for l in range(1, LR + 1):
+        h = 1 << (l - 1)
+        t = jnp.minimum(
+            t, jnp.concatenate([t[:, h:], jnp.full((B, h), _INF, jnp.int32)], axis=1)
+        )
+        tabs.append(t)
+    return jnp.stack(tabs, axis=1), LR  # (B, LR+1, R)
+
+
+def _crossing_rangemin(lcp_suf, lcp_pre, rowtab, LR, lo, hi, present, *, cap: int):
+    """Range-min of lcp_adj over [lo, hi] where lo and hi lie in DIFFERENT
+    128-slot rows: min(suffix-min at lo, whole rows between, prefix-min at
+    hi). Shapes: queries (B, m); lcp_suf/pre (B, cap); rowtab (B, LR+1, R)."""
+    B, m = lo.shape
+    R = cap // _C
+    vrow = (jnp.arange(lo.shape[0], dtype=jnp.int32) * cap)[:, None]
+    q = jnp.concatenate(
+        [vrow + jnp.clip(lo, 0, cap - 1), vrow + jnp.clip(hi, 0, cap - 1)], axis=1
+    )
+    g = jnp.concatenate([lcp_suf.reshape(-1)[q[:, :m]], lcp_pre.reshape(-1)[q[:, m:]]], axis=1)
+    # When lo and hi share a row, lo is necessarily the row START (only the
+    # nsv lo=k+1 of a row-final slot can do this), so pre[hi] alone covers
+    # [lo, hi] exactly; suf[lo] would overshoot past hi and must be dropped.
+    same_row = (lo >> _LOGC) == (hi >> _LOGC)
+    part_edge = jnp.minimum(jnp.where(same_row, _INF, g[:, :m]), g[:, m:])
+
+    r_lo = (lo >> _LOGC) + 1  # first full row
+    r_hi = (hi >> _LOGC) - 1  # last full row
+    d = r_hi - r_lo + 1
+    have_mid = present & (d >= 1)
+    j = jnp.zeros_like(d)
+    for l in range(1, LR + 1):
+        j = jnp.where(d >= (1 << l), l, j)
+    rrow = (jnp.arange(B, dtype=jnp.int32) * (LR + 1) * R)[:, None]
+    flat = rowtab.reshape(-1)
+    q2 = jnp.concatenate(
+        [
+            rrow + j * R + jnp.clip(r_lo, 0, R - 1),
+            rrow + j * R + jnp.clip(r_hi - (1 << j) + 1, 0, R - 1),
+        ],
+        axis=1,
+    )
+    g2 = flat[q2]
+    part_mid = jnp.where(have_mid, jnp.minimum(g2[:, :m], g2[:, m:]), _INF)
+    return jnp.where(present, jnp.minimum(part_edge, part_mid), 0)
+
+
+def _rangemin_xla_full(lcp_adj, lslot, rslot, rank_iota, *, cap: int):
+    """Backend-generic range-min: full stacked sparse table + 2-probe.
+    CPU/test path (O(cap log cap) memory — the TPU path avoids this)."""
+    B = lcp_adj.shape[0]
     LR = max(1, (cap - 1).bit_length())
     tables = [lcp_adj]
     t = lcp_adj
-    big = jnp.int32(2**30)
     for l in range(1, LR + 1):
         h = 1 << (l - 1)
-        shifted = jnp.concatenate(
-            [t[:, h:], jnp.full((B, h), big, jnp.int32)], axis=1
+        t = jnp.minimum(
+            t, jnp.concatenate([t[:, h:], jnp.full((B, h), _INF, jnp.int32)], axis=1)
         )
-        t = jnp.minimum(t, shifted)
         tables.append(t)
     rmq = jnp.stack(tables, axis=1).reshape(-1)
     rrow = (jnp.arange(B, dtype=jnp.int32) * (LR + 1) * cap)[:, None]
 
-    # ---- queries (text order): psv range (lslot, rank] -> lcp_adj[lslot+1..
-    # rank]; nsv range (rank, rslot] -> lcp_adj[rank+1..rslot].
     def range_min(lo_excl, hi_incl, present):
         lo = lo_excl + 1
-        d = jnp.maximum(hi_incl - lo_excl, 1)  # range length
+        d = jnp.maximum(hi_incl - lo_excl, 1)
         j = 31 - jax.lax.clz(d)
         q = jnp.concatenate(
             [
@@ -226,32 +433,121 @@ def candidate_lcps_batch(
         g = rmq[q]
         return jnp.where(present, jnp.minimum(g[:, :cap], g[:, cap:]), 0)
 
-    psv_len = range_min(lslot, rank, lslot >= 0)
-    nsv_len = range_min(rank, rslot, rslot >= 0)
+    psv_len = range_min(lslot, rank_iota, lslot >= 0)
+    nsv_len = range_min(rank_iota, rslot, rslot >= 0)
     return psv_len, nsv_len
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def candidate_lcps(
-    ckpt: jax.Array,
-    n_levels: jax.Array,
-    n: jax.Array,
-    sa: jax.Array,
+def candidate_lengths_slot_batch(
+    lcp_adj: jax.Array,
     lslot: jax.Array,
     rslot: jax.Array,
-    rank: jax.Array,
+    n: jax.Array,
     *,
     cap: int,
 ):
-    """Single-block wrapper over candidate_lcps_batch."""
-    pl_, nl_ = candidate_lcps_batch(
-        ckpt[None],
-        jnp.asarray(n_levels)[None],
-        jnp.asarray(n)[None],
-        sa[None],
-        lslot[None],
-        rslot[None],
-        rank[None],
-        cap=cap,
+    """(psv_len, nsv_len) int32[B, cap] in SLOT order: entry k is the LCP of
+    suffix sa[k] with its PSV / NSV candidate (0 where absent).
+
+    lslot/rslot are slot indices of the nearest-smaller neighbors (-1 absent),
+    as produced by the ANSV stage (slot order).
+    """
+    B = lcp_adj.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+
+    if not (jax.default_backend() == "tpu" and cap % 1024 == 0):
+        rank_iota = jnp.broadcast_to(idx, (B, cap)) + (lcp_adj - lcp_adj)
+        return _rangemin_xla_full(lcp_adj, lslot, rslot, rank_iota, cap=cap)
+
+    R = cap // _C
+    rows = B * R
+    br = R
+    while br < 512 and rows % (2 * br) == 0:
+        br *= 2
+    br = min(br, 512)
+    kern = functools.partial(_inrow_rangemin_kernel, R=R)
+    psv_in, nsv_in, suf, pre = pl.pallas_call(
+        kern,
+        grid=(rows // br,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, _C), jnp.int32) for _ in range(4)
+        ),
+        in_specs=[
+            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+    )(
+        lcp_adj.reshape(rows, _C),
+        lslot.reshape(rows, _C),
+        rslot.reshape(rows, _C),
     )
-    return pl_[0], nl_[0]
+    psv_in = psv_in.reshape(B, cap)
+    nsv_in = nsv_in.reshape(B, cap)
+    suf = suf.reshape(B, cap)
+    pre = pre.reshape(B, cap)
+
+    rowbase = idx & ~(_C - 1)
+    cross_p = (lslot >= 0) & (lslot < rowbase - 1)
+    cross_n = (rslot >= 0) & (rslot > rowbase + _C - 1)
+
+    # Compact crossing queries (measured ~n/24 per side) into half-buckets.
+    M = max(cap // 16, 1024)
+    cnt_p = jnp.sum(cross_p.astype(jnp.int32), axis=1)
+    cnt_n = jnp.sum(cross_n.astype(jnp.int32), axis=1)
+    slot_iota = jnp.broadcast_to(idx, (B, cap)) + (lcp_adj - lcp_adj)
+    _, qp, qlo_p = jax.lax.sort(
+        (jnp.where(cross_p, 0, 1).astype(jnp.int32), slot_iota, lslot + 1),
+        num_keys=1, dimension=1,
+    )
+    _, qn, qhi_n = jax.lax.sort(
+        (jnp.where(cross_n, 0, 1).astype(jnp.int32), slot_iota, rslot),
+        num_keys=1, dimension=1,
+    )
+    rowtab, LR = _rowmin_tables(lcp_adj, cap=cap)
+    frow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
+
+    def scat(arr, mask, qk, val):
+        flat = jnp.where(mask, frow + jnp.clip(qk, 0, cap - 1), B * cap)
+        return (
+            arr.reshape(-1)
+            .at[flat.reshape(-1)]
+            .set(val.reshape(-1), mode="drop")
+            .reshape(B, cap)
+        )
+
+    def bucket(_):
+        mid = jnp.arange(M, dtype=jnp.int32)[None, :]
+        vp = mid < cnt_p[:, None]
+        vn = mid < cnt_n[:, None]
+        rp = _crossing_rangemin(
+            suf, pre, rowtab, LR, qlo_p[:, :M], qp[:, :M], vp, cap=cap
+        )
+        rn = _crossing_rangemin(
+            suf, pre, rowtab, LR, qn[:, :M] + 1, qhi_n[:, :M], vn, cap=cap
+        )
+        out_p = scat(psv_in, vp, qp[:, :M], rp)
+        out_n = scat(nsv_in, vn, qn[:, :M], rn)
+        return out_p, out_n
+
+    def full(_):
+        rp = _crossing_rangemin(
+            suf, pre, rowtab, LR, lslot + 1, slot_iota, cross_p, cap=cap
+        )
+        rn = _crossing_rangemin(
+            suf, pre, rowtab, LR, slot_iota + 1, rslot, cross_n, cap=cap
+        )
+        out_p = jnp.where(cross_p, rp, psv_in)
+        out_n = jnp.where(cross_n, rn, nsv_in)
+        return out_p, out_n
+
+    psv_len, nsv_len = jax.lax.cond(
+        (jnp.max(cnt_p) <= M) & (jnp.max(cnt_n) <= M), bucket, full, 0
+    )
+    psv_len = jnp.where(lslot >= 0, psv_len, 0)
+    nsv_len = jnp.where(rslot >= 0, nsv_len, 0)
+    return psv_len, nsv_len

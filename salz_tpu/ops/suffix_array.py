@@ -7,9 +7,18 @@ O(log n) arbitrary-pair LCP queries downstream (salz_tpu/ops/lcp.py) — the
 TPU-parallel replacement for the reference's sequential seeded LCP scan
 (salz.c:492-514).
 
+Two TPU-cost-model tricks (PERFORMANCE.md):
+
+* The first THREE doubling rounds are fused into one 2-key sort over packed
+  9-bit byte symbols (4 bytes per position), saving two sort+invert rounds.
+* The final rank->SA inversion sort carries the packed 8/16-byte text
+  prefixes of every suffix as payloads, so downstream adjacent-suffix
+  comparisons (the LCP stage) get the first 16 bytes of both suffixes from
+  SHIFTED SLICES instead of random gathers.
+
 Shapes are static: the text lives in a fixed buffer of size `cap`, the valid
 length `n` is dynamic. Padded positions get distinct sentinel keys larger than
-any byte so they (a) sort after every real suffix and (b) never block the
+any real key so they (a) sort after every real suffix and (b) never block the
 all-ranks-distinct early exit.
 """
 
@@ -26,28 +35,76 @@ def num_levels(cap: int) -> int:
     return max(1, (cap - 1).bit_length()) + 1
 
 
+def packed_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
+    """Big-endian packed 4-byte windows of text[:n], zero past n.
+
+    Returns (t32a, t32b, t32c, t32d): int32[cap] with t32a[i] = bytes i..i+3,
+    t32b[i] = bytes i+4..i+7, etc. Matches the byte-probe tables the LCP
+    tail compare uses (FORMAT.md §1.7).
+    """
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    byte = jnp.where(idx < n, text.astype(jnp.int32), 0)
+
+    def _sh(k):
+        return jnp.concatenate([byte[k:], jnp.zeros(k, jnp.int32)])
+
+    def _pack(k):
+        return (_sh(k) << 24) | (_sh(k + 1) << 16) | (_sh(k + 2) << 8) | _sh(k + 3)
+
+    return _pack(0), _pack(4), _pack(8), _pack(12)
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
-def suffix_array_with_ranks(text: jax.Array, n: jax.Array, *, cap: int):
-    """Build SA and rank checkpoints for text[:n] (text is uint8[cap]).
+def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
+    """Build SA, rank checkpoints, and slot-order prefixes for text[:n].
 
     Returns:
       sa:   int32[cap] — sa[:n] is the suffix array of text[:n]; the padded
             tail holds the sentinel suffixes in index order.
       ckpt: int32[L, cap] — ckpt[l][i] is an equality-preserving rank of the
-            substring text[i : i+2^l] (truncated at n). Levels that were not
-            reached (all ranks already distinct) hold all-distinct values, so
-            equality tests at those levels are vacuously false — exactly what
-            the LCP descent needs.
+            substring text[i : i+2^l] (truncated at n). Level 0 is the byte
+            value for i < n; levels 1-2 come from the fused initial sort;
+            levels that were not reached (all ranks already distinct) hold
+            all-distinct values, so equality tests there are vacuously false —
+            exactly what the LCP descent needs.
       n_levels: int32 — number of levels actually filled (informational).
+      t32:  int32[2, cap] — text-order packed bytes i..i+3 / i+4..i+7 (the
+            LCP tail-probe tables).
+      p32:  int32[4, cap] — SLOT-order packed prefixes: p32[j][k] = bytes
+            sa[k]+4j .. sa[k]+4j+3 — the first 16 bytes of every suffix in
+            suffix-array order, for gather-free adjacent comparisons.
     """
     L = num_levels(cap)
     idx = jnp.arange(cap, dtype=jnp.int32)
     in_text = idx < n
-    # Distinct sentinel keys beyond any byte value keep padded positions inert.
-    rank0 = jnp.where(in_text, text.astype(jnp.int32), 257 + idx)
+    byte = jnp.where(in_text, text.astype(jnp.int32), 0)
+    t32a, t32b, t32c, t32d = packed_prefixes(text, n, cap=cap)
 
+    # ---- fused initial round: 4-byte ranks from ONE 2-key sort.
+    # 9-bit symbols (byte+1 in text, 0 past n) make a shorter suffix sort
+    # strictly before any extension — the truncation rule of the SA.
+    def _sym(k):
+        s = jnp.concatenate([byte[k:], jnp.zeros(k, jnp.int32)]) + 1
+        return jnp.where(idx + k < n, s, 0)
+
+    keyA = (_sym(0) << 9) | _sym(1)
+    keyA = jnp.where(in_text, keyA, (1 << 18) + idx)  # sentinels after real
+    keyB = jnp.where(in_text, (_sym(2) << 9) | _sym(3), 0)
+    k1, k2, perm = jax.lax.sort((keyA, keyB, idx), num_keys=2)
+    changed = jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.int32),
+            ((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])).astype(jnp.int32),
+        ]
+    )
+    rank4_sorted = jnp.cumsum(changed, dtype=jnp.int32)
+    _, rank4 = jax.lax.sort((perm, rank4_sorted), num_keys=1)
+
+    rank0 = jnp.where(in_text, text.astype(jnp.int32), 257 + idx)
     ckpt0 = jnp.broadcast_to(idx, (L, cap))
     ckpt0 = ckpt0.at[0].set(rank0)
+    ckpt0 = ckpt0.at[1].set(keyA)  # equality-preserving 2-byte rank
+    ckpt0 = ckpt0.at[2].set(rank4)
 
     def all_distinct(rank):
         return jnp.max(rank) == cap - 1
@@ -81,12 +138,24 @@ def suffix_array_with_ranks(text: jax.Array, n: jax.Array, *, cap: int):
         return (~done) & (level < L)
 
     rank, ckpt, level, _ = jax.lax.while_loop(
-        cond, round_body, (rank0, ckpt0, jnp.int32(1), all_distinct(rank0))
+        cond, round_body, (rank4, ckpt0, jnp.int32(3), all_distinct(rank4))
     )
-    # rank is now a permutation of [0, cap); invert (via sort — cheaper than
-    # a 1-D scatter on TPU) to get the suffix array.
-    _, sa = jax.lax.sort((rank, idx), num_keys=1)
-    return sa, ckpt, level
+    # rank is now a permutation of [0, cap); invert via sort, carrying the
+    # packed 16-byte prefixes into slot order as payloads (sort payloads are
+    # far cheaper than the equivalent post-hoc gathers).
+    _, sa, pa, pb, pc, pd = jax.lax.sort(
+        (rank, idx, t32a, t32b, t32c, t32d), num_keys=1
+    )
+    t32 = jnp.stack([t32a, t32b])
+    p32 = jnp.stack([pa, pb, pc, pd])
+    return sa, ckpt, level, t32, p32
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def suffix_array_with_ranks(text: jax.Array, n: jax.Array, *, cap: int):
+    """(sa, ckpt, n_levels) — see suffix_array_prefixes."""
+    sa, ckpt, n_levels, _, _ = suffix_array_prefixes(text, n, cap=cap)
+    return sa, ckpt, n_levels
 
 
 def suffix_array(text: jax.Array, n: jax.Array, *, cap: int) -> jax.Array:

@@ -16,11 +16,11 @@ import jax
 import jax.numpy as jnp
 
 from bench import make_corpus
-from salz_tpu.ops.ansv import psv_nsv_full
+from salz_tpu.ops.ansv import ansv_slots_vals_batch
 from salz_tpu.ops.emit import emit_stream, token_starts
-from salz_tpu.ops.lcp import candidate_lcps
-from salz_tpu.ops.parse import optimal_parse_chunked
-from salz_tpu.ops.suffix_array import suffix_array_with_ranks
+from salz_tpu.ops.lcp import adjacent_lcp_batch, candidate_lengths_slot_batch
+
+from salz_tpu.ops.suffix_array import suffix_array_prefixes
 
 CAP = int(os.environ.get("CAP", str(1 << 20)))
 CHUNK = int(os.environ.get("CHUNK", "512"))
@@ -46,31 +46,55 @@ def timeit(name, fn, *args, reps=3, **kw):
 
 
 def main():
-    print(f"devices: {jax.devices()}  cap={CAP}", flush=True)
-    data = make_corpus(CAP)
-    block = jnp.asarray(np.frombuffer(data, np.uint8))
-    n = jnp.int32(CAP - 8)
-    idx = jnp.arange(CAP, dtype=jnp.int32)
+    import jax.lax
 
-    sa, ckpt, nlv = timeit(
-        "suffix_array", suffix_array_with_ranks, block, n, cap=CAP
+    B = int(os.environ.get("B", "1"))
+    print(f"devices: {jax.devices()}  cap={CAP} batch={B}", flush=True)
+    data = make_corpus(B * CAP)
+    blocks = jnp.asarray(
+        np.frombuffer(data, np.uint8).reshape(B, CAP)
     )
-    print(f"  (levels filled: {int(nlv)})", flush=True)
-    psv, nsv, lslot, rslot, rank = timeit(
-        "ansv_full", psv_nsv_full, sa, n, cap=CAP
+    ns = jnp.full((B,), CAP - 8, jnp.int32)
+    idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
+
+    sa_fn = jax.jit(
+        jax.vmap(lambda b, n: suffix_array_prefixes(b, n, cap=CAP))
     )
-    pl_, nl_ = timeit(
-        "candidate_lcps", candidate_lcps, ckpt, nlv, n, sa, lslot, rslot,
-        rank, cap=CAP,
+    sa, ckpt, nlv, t32, p32 = timeit("suffix_array", sa_fn, blocks, ns)
+    print(f"  (levels filled: {np.asarray(nlv)})", flush=True)
+    valid = idx < ns[:, None]
+    vals = jnp.where(valid, sa, jnp.int32(2**31 - 1))
+    lslot, psv_val, rslot, nsv_val = timeit(
+        "ansv_slots", ansv_slots_vals_batch, vals, ns, cap=CAP
+    )
+    lcp_adj = timeit(
+        "adjacent_lcp", adjacent_lcp_batch, ckpt, ns, sa, t32, p32, cap=CAP
+    )
+    pl_s, nl_s = timeit(
+        "rangemin", candidate_lengths_slot_batch, lcp_adj, lslot, rslot, ns,
+        cap=CAP,
+    )
+    sort_fn = jax.jit(
+        lambda d, a, b, c, e: jax.lax.sort((d, a, b, c, e), num_keys=1, dimension=1)
+    )
+    dest = jnp.where(valid, sa, CAP)
+    _, psv, nsv, pl_, nl_ = timeit(
+        "slot2text_sort", sort_fn, dest, psv_val, nsv_val, pl_s, nl_s
     )
     po = idx - psv
     no = idx - nsv
+    from salz_tpu.ops.parse import optimal_parse_chunked_batch
+
     offs, length, _ = timeit(
-        "parse_chunked", optimal_parse_chunked, po, pl_, no, nl_, n,
+        "parse_chunked", optimal_parse_chunked_batch, po, pl_, no, nl_, ns,
         cap=CAP, chunk=CHUNK,
     )
-    timeit("token_starts", token_starts, length, n, cap=CAP)
-    timeit("emit", emit_stream, block, jnp.int32(CAP), offs, length, cap=CAP)
+    starts_fn = jax.jit(jax.vmap(lambda l, n: token_starts(l, n, cap=CAP)))
+    timeit("token_starts", starts_fn, length, ns)
+    emit_fn = jax.jit(
+        jax.vmap(lambda b, bl, o, l: emit_stream(b, bl, o, l, cap=CAP))
+    )
+    timeit("emit", emit_fn, blocks, jnp.full((B,), CAP, jnp.int32), offs, length)
 
 
 if __name__ == "__main__":
