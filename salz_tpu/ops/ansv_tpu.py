@@ -116,21 +116,60 @@ def _full_tables_batch(vals, cap: int):
     return tables, L  # per-level (B, cap) arrays
 
 
-def _descend_batch(tables, L, vals, q, side_left, cap: int):
-    """Classic full binary descent for queries q (B, m); existence presumed —
-    callers mask results where no smaller value exists. Gathers hit per-level
-    (B, cap) operands, staying under TPU's ~128MB gather-throughput cliff."""
+def _max_resolve_level(tables, L, vals, need_l, need_r, cap: int):
+    """Smallest descent start level covering every masked query: the max over
+    queries of the first level whose adjacent 2^l window holds a smaller
+    value. Pure shifted slices — no gathers; XLA fuses the level loop."""
+    B = vals.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    x = vals
+    jmax = jnp.int32(0)
+    unresL = need_l
+    unresR = need_r
+    for l in range(L + 1):
+        h = 1 << l
+        tl = tables[l]
+        if h < cap:
+            wl = jnp.concatenate(
+                [jnp.full((B, h), _INF, jnp.int32), tl[:, : cap - h]], axis=1
+            )
+        else:
+            wl = jnp.full((B, cap), _INF, jnp.int32)
+        wr = jnp.concatenate(
+            [tl[:, 1:], jnp.full((B, 1), _INF, jnp.int32)], axis=1
+        )
+        hitL = unresL & (idx - h >= 0) & (wl < x)
+        hitR = unresR & (idx + 1 + h <= cap) & (wr < x)
+        any_hit = jnp.any(hitL | hitR)
+        jmax = jnp.where(any_hit, jnp.int32(l), jmax)
+        unresL = unresL & ~hitL
+        unresR = unresR & ~hitR
+    return jmax
+
+
+def _descend_batch(tabstack, jmax, vals, q, side_left, cap: int):
+    """Binary descent for queries q (B, m) with a DYNAMIC start level jmax
+    (the max resolve level — existence presumed; callers mask absent). Each
+    level reads its (B, cap) slice out of the stacked table, staying under
+    TPU's ~128MB gather-throughput cliff."""
     B, m = q.shape
     vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
     x = vals.reshape(-1)[vrow + jnp.clip(q, 0, cap - 1)]
-    pos = jnp.where(side_left, q, q + 1)
-    for l in range(L, -1, -1):
-        h = jnp.int32(1 << l)
+    pos0 = jnp.where(side_left, q, q + 1)
+
+    def body(t, pos):
+        l = jmax - t
+        tab = jax.lax.dynamic_slice(
+            tabstack, (0, l, 0), (B, 1, cap)
+        ).reshape(-1)
+        h = jnp.int32(1) << l
         cand = jnp.where(side_left, pos - h, pos)
         ok = jnp.where(side_left, cand >= 0, pos + h <= cap)
-        wmin = tables[l].reshape(-1)[vrow + jnp.clip(cand, 0, cap - 1)]
+        wmin = tab[vrow + jnp.clip(cand, 0, cap - 1)]
         step = ok & (wmin >= x)
-        pos = jnp.where(step, jnp.where(side_left, cand, pos + h), pos)
+        return jnp.where(step, jnp.where(side_left, cand, pos + h), pos)
+
+    pos = jax.lax.fori_loop(0, jmax + 1, body, pos0)
     slot = jnp.clip(jnp.where(side_left, pos - 1, pos), 0, cap - 1)
     return slot, vals.reshape(-1)[vrow + slot]
 
@@ -224,7 +263,9 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
         )
 
     def bucket_path(_):
-        flat, L = _full_tables_batch(vals, cap)
+        tabs, L = _full_tables_batch(vals, cap)
+        jmax = _max_resolve_level(tabs, L, vals, need_l, need_r, cap)
+        stack = jnp.stack(tabs, axis=1)  # (B, L+1, cap)
         qk = jnp.clip(
             jnp.concatenate([qpos_l[:, :M], qpos_r[:, :M]], axis=1),
             0,
@@ -237,7 +278,7 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
             [jnp.ones((B, M), jnp.bool_), jnp.zeros((B, M), jnp.bool_)],
             axis=1,
         )
-        s, v = _descend_batch(flat, L, vals, qk, side, cap)
+        s, v = _descend_batch(stack, jmax, vals, qk, side, cap)
         ls = scat(lslot, valid_l, qk[:, :M], s[:, :M])
         lv = scat(lval, valid_l, qk[:, :M], v[:, :M])
         rs = scat(rslot, valid_r, qk[:, M:], s[:, M:])
@@ -245,13 +286,15 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
         return ls, lv, rs, rv
 
     def full_path(_):
-        flat, L = _full_tables_batch(vals, cap)
+        tabs, L = _full_tables_batch(vals, cap)
+        jmax = _max_resolve_level(tabs, L, vals, need_l, need_r, cap)
+        stack = jnp.stack(tabs, axis=1)
         full_idx = jnp.broadcast_to(idx, (B, cap)) + (vals - vals)
         sl, vl = _descend_batch(
-            flat, L, vals, full_idx, jnp.ones((B, cap), jnp.bool_), cap
+            stack, jmax, vals, full_idx, jnp.ones((B, cap), jnp.bool_), cap
         )
         sr, vr = _descend_batch(
-            flat, L, vals, full_idx, jnp.zeros((B, cap), jnp.bool_), cap
+            stack, jmax, vals, full_idx, jnp.zeros((B, cap), jnp.bool_), cap
         )
         ls = jnp.where(need_l, sl, lslot)
         lv = jnp.where(need_l, vl, lval)

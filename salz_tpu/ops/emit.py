@@ -11,6 +11,12 @@ produced by three vectorized scatters:
   2. slot j's 8 bytes at 4 + 8(j-1) + #{t : bits_before_t + w1_t <= 64(j-1)}
   3. nonzero bit chunks OR-scattered into a uint32 word array
 
+BATCH-NATIVE on purpose: all scatters are flat 1-D with per-block offsets
+(vmapped scatters lower an order of magnitude slower on TPU). A batch-level
+lax.cond shrinks every token-indexed array to cap/2 when every block's token
+count allows it (the common case for compressible data — token count is
+roughly cap/4 on text); the full-width branch covers literal-heavy blocks.
+
 Equivalence with the scalar writer is pinned by tests/test_emit.py over random
 token streams and by full-stream equality with the oracle.
 
@@ -85,58 +91,58 @@ def token_starts(length: jax.Array, n: jax.Array, *, cap: int) -> jax.Array:
     return token_starts_xla(length, n, cap=cap)
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def emit_stream(
-    block: jax.Array,  # uint8[cap] padded block (text + 8 tail bytes)
-    block_len: jax.Array,  # dynamic total block length (n + 8)
-    offs: jax.Array,  # int32[cap] chosen factor offsets (text positions)
-    length: jax.Array,  # int32[cap] chosen factor lengths (1 = literal)
-    *,
-    cap: int,
+def _emit_core(
+    is_start, blocks, block_lens, offs, length, *, cap: int, tcap: int
 ):
-    """Produce the complete segment: header + interleaved stream + fallback.
+    """Stream assembly for token arrays truncated to width `tcap`.
 
-    Returns (out, out_len, overflow_bits) where out is uint8[out_cap] with
-    out_cap = encoded_len_max(cap) + 16; out_len is the segment length after
-    the PLAIN-fallback decision; overflow_bits reports the raw SALZ layout
-    size so callers can reproduce the reference's capacity-abort semantics.
+    Correctness contract: whenever some block's token count K exceeds
+    tcap - TAIL_RESERVE, that block's `out` bytes may be wrong, but its
+    (out_len, salz_len) accounting and the PLAIN decision may also be wrong —
+    so callers must pick tcap >= max(K) + TAIL_RESERVE (the cond below).
     """
-    n = block_len - TAIL_RESERVE
-    idx = jnp.arange(cap, dtype=jnp.int32)
-
-    is_start = token_starts(length, n, cap=cap)
+    B = blocks.shape[0]
+    ns = block_lens - TAIL_RESERVE
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
     # ---- compact tokens (text tokens first, then the 8 forced tail literals)
     # Stable sort by ~is_start carries (position, length, offset, byte) of
     # every token start to the front in text order — one sort instead of a
-    # compaction scatter plus three full-size gathers (sorts are much cheaper
-    # than 1-D gathers on TPU).
-    num_text_tokens = jnp.sum(is_start.astype(jnp.int32))
-    K = num_text_tokens + TAIL_RESERVE  # total tokens
+    # compaction scatter plus three full-size gathers.
+    num_text_tokens = jnp.sum(is_start.astype(jnp.int32), axis=1)  # (B,)
+    K = num_text_tokens + TAIL_RESERVE  # total tokens per block
 
-    tcap = cap + TAIL_RESERVE  # static max token count
     _, pos_s, len_s, offs_s, byte_s = jax.lax.sort(
-        (1 - is_start.astype(jnp.int32), idx, length, offs, block),
+        (
+            1 - is_start.astype(jnp.int32),
+            jnp.broadcast_to(idx, (B, cap)) + (length - length),
+            length,
+            offs,
+            blocks,
+        ),
         num_keys=1,
         is_stable=True,
+        dimension=1,
     )
+    pos_s = pos_s[:, : tcap - TAIL_RESERVE]
+    len_s = len_s[:, : tcap - TAIL_RESERVE]
+    offs_s = offs_s[:, : tcap - TAIL_RESERVE]
+    byte_s = byte_s[:, : tcap - TAIL_RESERVE]
 
-    tids = jnp.arange(tcap, dtype=jnp.int32)
-    tok_valid = tids < K
-    is_tail = (tids >= num_text_tokens) & tok_valid
-    # Tail literals: token ids K-8 .. K-1, positions n .. n+7.
-    tail_pos = n + tids - num_text_tokens
-    pad = jnp.zeros(TAIL_RESERVE, jnp.int32)
-    tok_pos = jnp.where(
-        is_tail, tail_pos, jnp.concatenate([pos_s, pad])
-    )
+    tids = jnp.arange(tcap, dtype=jnp.int32)[None, :]
+    Kb = K[:, None]
+    ntt = num_text_tokens[:, None]
+    tok_valid = tids < Kb
+    is_tail = (tids >= ntt) & tok_valid
+    pad = jnp.zeros((B, TAIL_RESERVE), jnp.int32)
+    tail_pos = ns[:, None] + tids - ntt
+    tok_pos = jnp.where(is_tail, tail_pos, jnp.concatenate([pos_s, pad], axis=1))
     tok_pos = jnp.where(tok_valid, tok_pos, cap)
-    pos_c = jnp.clip(tok_pos, 0, cap - 1)
     tok_len = jnp.where(
-        is_tail | ~tok_valid, 1, jnp.concatenate([len_s, pad])
+        is_tail | ~tok_valid, 1, jnp.concatenate([len_s, pad], axis=1)
     )
     tok_offs = jnp.where(
-        tok_valid & ~is_tail, jnp.concatenate([offs_s, pad]), 0
+        tok_valid & ~is_tail, jnp.concatenate([offs_s, pad], axis=1), 0
     )
     is_factor = tok_valid & (tok_len > 1)
 
@@ -150,35 +156,58 @@ def emit_stream(
     bits_t = jnp.where(is_factor, w1 + z + 4, 1)
     bits_t = jnp.where(tok_valid, bits_t, 0)
 
-    bits_before = jnp.cumsum(bits_t) - bits_t  # exclusive prefix sum
-    total_bits = jnp.sum(bits_t)
+    bits_before = jnp.cumsum(bits_t, axis=1) - bits_t  # exclusive prefix sum
+    total_bits = jnp.sum(bits_t, axis=1)  # (B,)
     num_slots = (total_bits + 63) >> 6
+
+    out_cap = 4 + cap + ((cap + 63) // 64) * 8 + 16  # encoded_len_max(cap)+16
+    orow = (jnp.arange(B, dtype=jnp.int32) * out_cap)[:, None]
+    out = jnp.zeros(B * out_cap, jnp.uint8)
 
     # ---- byte scatter
     # Literal bytes came through the compaction sort; the 8 tail literal bytes
-    # live at block[n : n+8] (contiguous — a dynamic slice, not a gather) and
-    # land at token ids num_text_tokens..K-1 (contiguous — an update slice).
-    lit_bytes = jnp.concatenate([byte_s, jnp.zeros(TAIL_RESERVE, jnp.uint8)])
-    tail_bytes = jax.lax.dynamic_slice(block, (jnp.maximum(n, 0),), (TAIL_RESERVE,))
-    lit_bytes = jax.lax.dynamic_update_slice(
-        lit_bytes, tail_bytes, (num_text_tokens,)
+    # live at blocks[b, n : n+8] (a tiny per-row gather) and land at token ids
+    # num_text_tokens..K-1.
+    lit_bytes = jnp.concatenate(
+        [byte_s, jnp.zeros((B, TAIL_RESERVE), jnp.uint8)], axis=1
+    )
+    tail_cols = jnp.clip(
+        ns[:, None] + jnp.arange(TAIL_RESERVE, dtype=jnp.int32)[None, :],
+        0,
+        cap - 1,
+    )
+    tail_bytes = jnp.take_along_axis(blocks, tail_cols, axis=1)
+    # Place tail bytes at token ids ntt..K-1 with a small flat scatter.
+    trow = (jnp.arange(B, dtype=jnp.int32) * tcap)[:, None]
+    lit_flat = lit_bytes.reshape(-1)
+    tail_dst = trow + jnp.clip(
+        ntt + jnp.arange(TAIL_RESERVE, dtype=jnp.int32)[None, :], 0, tcap - 1
+    )
+    lit_bytes = (
+        lit_flat.at[tail_dst.reshape(-1)]
+        .set(tail_bytes.reshape(-1), mode="drop")
+        .reshape(B, tcap)
     )
     byte_val = jnp.where(
         is_factor, ((tok_offs - 1) & 0xFF).astype(jnp.uint8), lit_bytes
     )
     byte_bits = bits_before + w1  # bits written before this token's byte
     byte_pos = 4 + tids + 8 * ((byte_bits + 63) >> 6)
-
-    out_cap = 4 + cap + ((cap + 63) // 64) * 8 + 16  # encoded_len_max(cap)+16
-    out = jnp.zeros(out_cap, jnp.uint8)
-    out = out.at[jnp.where(tok_valid, byte_pos, out_cap)].set(
-        byte_val, mode="drop"
-    )
+    # Per-row bound keeps an overflowing (necessarily PLAIN-destined) block
+    # from scattering into a sibling block's row.
+    byte_ok = tok_valid & (byte_pos < out_cap)
+    out = out.at[
+        jnp.where(byte_ok, orow + byte_pos, B * out_cap).reshape(-1)
+    ].set(byte_val.reshape(-1), mode="drop")
 
     # ---- bit chunks -> uint32 word array (word w holds bits [32w, 32w+32),
-    # MSB-first within the word)
-    nwords = 2 * ((9 * cap + 63) // 64) + 2  # >= 2*ceil(total_bits/64)
-    words = jnp.zeros(nwords, jnp.uint32)
+    # MSB-first within the word). Sized by the non-PLAIN slot bound:
+    # salz_len = 4 + K + 8*num_slots <= block_len + 4 implies
+    # num_slots <= (n + 8 - K)/8 <= cap/8 + 1; any stream that overflows this
+    # is provably PLAIN (discarded), so dropped contributions are harmless.
+    nwords = 2 * (cap // 8 + 2)
+    wrow = (jnp.arange(B, dtype=jnp.int32) * nwords)[:, None]
+    words = jnp.zeros(B * nwords, jnp.uint32)
 
     def scatter_chunk(words, value, width, bitpos, valid):
         """OR value (width bits, MSB-aligned to bitpos) into the word array."""
@@ -187,21 +216,21 @@ def emit_stream(
         r = (bitpos & 31).astype(jnp.uint32)
         space = 32 - r  # bits available in word w at offset r
         wide = width.astype(jnp.uint32)
-        # Contribution to word w: top part of value (or all of it).
         shift_left = jnp.where(wide <= space, space - wide, 0)
         shift_right = jnp.where(wide > space, wide - space, 0)
         contrib0 = jnp.where(
             wide > space, value >> shift_right, value << shift_left
         )
-        # Contribution to word w+1: the remaining low bits, MSB-aligned.
         rem = jnp.where(wide > space, wide - space, 0)
         low = value & ((jnp.uint32(1) << rem) - 1)
         contrib1 = jnp.where(rem > 0, low << (32 - rem), 0)
-        wi = jnp.where(valid, w, nwords)
-        words = words.at[wi].add(contrib0, mode="drop")
-        words = words.at[jnp.where(valid & (rem > 0), w + 1, nwords)].add(
-            contrib1, mode="drop"
-        )
+        valid0 = valid & (w < nwords)
+        wi = jnp.where(valid0, wrow + w, B * nwords)
+        words = words.at[wi.reshape(-1)].add(contrib0.reshape(-1), mode="drop")
+        valid1 = valid & (rem > 0) & (w + 1 < nwords)
+        words = words.at[
+            jnp.where(valid1, wrow + w + 1, B * nwords).reshape(-1)
+        ].add(contrib1.reshape(-1), mode="drop")
         return words
 
     # Chunk A: token bit + vnibble pattern (factors) / the 0 token bit
@@ -213,64 +242,131 @@ def emit_stream(
     chunkB_val = (1 << 3) | (lv & 0x7)
     chunkB_pos = bits_before + w1 + z
     words = scatter_chunk(
-        words, chunkB_val, jnp.full(chunkB_val.shape, 4, jnp.int32),
-        chunkB_pos, is_factor,
+        words,
+        chunkB_val,
+        jnp.full(chunkB_val.shape, 4, jnp.int32),
+        chunkB_pos,
+        is_factor,
     )
+    words = words.reshape(B, nwords)
 
     # ---- slot scatter: slot j (0-based) holds global bits [64j, 64j+64)
-    scap = (9 * cap + 8 * TAIL_RESERVE) // 64 + 2  # static max slot count
-    j = jnp.arange(scap, dtype=jnp.int32)
-    slot_valid = j < num_slots
+    scap = nwords // 2
+    j = jnp.arange(scap, dtype=jnp.int32)[None, :]
+    slot_valid = j < num_slots[:, None]
     # bytes before slot j+1's claim = #{t : byte_bits_t <= 64j}. byte_bits >= 1
     # for every valid token, so byte_bits <= 64j iff ceil(byte_bits/64) <= j:
-    # histogram the per-token slot ordinal and prefix-sum — one small scatter
-    # plus a cumsum instead of a binary search (gather cascade) per slot.
+    # histogram the per-token slot ordinal and prefix-sum.
+    srow = (jnp.arange(B, dtype=jnp.int32) * (scap + 1))[:, None]
     s_ord = (byte_bits + 63) >> 6
-    s_ord = jnp.where(tok_valid, s_ord, scap)
-    cnt = jnp.zeros(scap + 1, jnp.int32).at[jnp.clip(s_ord, 0, scap)].add(
-        1, mode="drop"
+    s_ord = jnp.where(tok_valid & (s_ord <= scap), s_ord, scap)
+    cnt = (
+        jnp.zeros(B * (scap + 1), jnp.int32)
+        .at[(srow + s_ord).reshape(-1)]
+        .add(1, mode="drop")
+        .reshape(B, scap + 1)
     )
-    bytes_before = jnp.cumsum(cnt)[:scap].astype(jnp.int32)
+    bytes_before = jnp.cumsum(cnt, axis=1)[:, :scap].astype(jnp.int32)
     slot_pos = 4 + 8 * j + bytes_before
 
-    hi = words[jnp.clip(2 * j, 0, nwords - 1)]
-    lo = words[jnp.clip(2 * j + 1, 0, nwords - 1)]
+    hi = words[:, 0::2]
+    lo = words[:, 1::2]
     # LE u64 whose MSB is the earliest bit: bytes [lo&255, .., lo>>24, hi&255,
-    # .., hi>>24] reversed per FORMAT.md §1.3.
+    # .., hi>>24] per FORMAT.md §1.3.
     slot_bytes = jnp.stack(
         [
             (lo >> 0) & 0xFF, (lo >> 8) & 0xFF, (lo >> 16) & 0xFF, (lo >> 24) & 0xFF,
             (hi >> 0) & 0xFF, (hi >> 8) & 0xFF, (hi >> 16) & 0xFF, (hi >> 24) & 0xFF,
         ],
-        axis=1,
+        axis=2,
     ).astype(jnp.uint8)
-    slot_dst = slot_pos[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
-    slot_dst = jnp.where(slot_valid[:, None], slot_dst, out_cap)
+    slot_ok = slot_valid & (slot_pos + 7 < out_cap)  # per-row bound, as above
+    slot_dst = (orow + slot_pos)[:, :, None] + jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    slot_dst = jnp.where(slot_ok[:, :, None], slot_dst, B * out_cap)
     out = out.at[slot_dst.reshape(-1)].set(slot_bytes.reshape(-1), mode="drop")
+    out = out.reshape(B, out_cap)
 
     salz_len = 4 + K + 8 * num_slots
 
     # ---- PLAIN fallback (salz.c:755-767): strictly larger than plain + 4.
-    use_plain = salz_len > block_len + 4
-    # PLAIN layout = header gap + raw block bytes: a concatenation (shift),
-    # not a scatter.
+    use_plain = (salz_len > block_lens + 4)[:, None]
+    oidx = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
     plain_out = jnp.concatenate(
-        [jnp.zeros(4, jnp.uint8), block, jnp.zeros(out_cap - 4 - cap, jnp.uint8)]
+        [jnp.zeros((B, 4), jnp.uint8), blocks,
+         jnp.zeros((B, out_cap - 4 - cap), jnp.uint8)],
+        axis=1,
     )
-    plain_out = jnp.where(
-        jnp.arange(out_cap) < block_len + 4, plain_out, 0
-    ).astype(jnp.uint8)
-
+    plain_out = jnp.where(oidx < block_lens[:, None] + 4, plain_out, 0).astype(
+        jnp.uint8
+    )
     out = jnp.where(use_plain, plain_out, out)
-    out_len = jnp.where(use_plain, block_len + 4, salz_len)
+    out_len = jnp.where(use_plain[:, 0], block_lens + 4, salz_len)
 
     # ---- stream header
-    stream_type = jnp.where(use_plain, 0, 1).astype(jnp.uint32)
+    stream_type = jnp.where(use_plain[:, 0], 0, 1).astype(jnp.uint32)
     payload = (out_len - 4).astype(jnp.uint32) & 0xFFFFFF
     hdr = (stream_type << 24) | payload
     hdr_bytes = jnp.stack(
-        [(hdr >> 0) & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF, (hdr >> 24) & 0xFF]
+        [(hdr >> 0) & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF, (hdr >> 24) & 0xFF],
+        axis=1,
     ).astype(jnp.uint8)
-    out = out.at[0:4].set(hdr_bytes)
+    out = out.at[:, 0:4].set(hdr_bytes)
 
     return out, out_len, salz_len
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def emit_stream_batch(
+    blocks: jax.Array,  # uint8[B, cap] padded blocks (text + 8 tail bytes)
+    block_lens: jax.Array,  # int32[B] total block lengths (n + 8)
+    offs: jax.Array,  # int32[B, cap] chosen factor offsets (text positions)
+    length: jax.Array,  # int32[B, cap] chosen factor lengths (1 = literal)
+    *,
+    cap: int,
+):
+    """Produce complete segments: header + interleaved stream + fallback.
+
+    Returns (out, out_len, salz_len): out uint8[B, out_cap]; out_len after the
+    PLAIN-fallback decision; salz_len the raw SALZ layout size (callers
+    reproduce the reference's capacity-abort semantics from it).
+    """
+    ns = block_lens - TAIL_RESERVE
+    is_start = jax.vmap(lambda l, n: token_starts(l, n, cap=cap))(length, ns)
+    tcap_full = cap + TAIL_RESERVE
+    if cap < 2048:
+        return _emit_core(
+            is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap_full
+        )
+    tcap_half = cap // 2 + TAIL_RESERVE
+    num_text = jnp.sum(is_start.astype(jnp.int32), axis=1)
+
+    def compact(_):
+        return _emit_core(
+            is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap_half
+        )
+
+    def full(_):
+        return _emit_core(
+            is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap_full
+        )
+
+    return jax.lax.cond(
+        jnp.max(num_text) <= cap // 2, compact, full, 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def emit_stream(
+    block: jax.Array,  # uint8[cap] padded block (text + 8 tail bytes)
+    block_len: jax.Array,  # dynamic total block length (n + 8)
+    offs: jax.Array,  # int32[cap] chosen factor offsets (text positions)
+    length: jax.Array,  # int32[cap] chosen factor lengths (1 = literal)
+    *,
+    cap: int,
+):
+    """Single-block wrapper over emit_stream_batch (same contract)."""
+    out, out_len, salz_len = emit_stream_batch(
+        block[None], jnp.asarray(block_len)[None], offs[None], length[None],
+        cap=cap,
+    )
+    return out[0], out_len[0], salz_len[0]

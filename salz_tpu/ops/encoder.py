@@ -17,7 +17,7 @@ import numpy as np
 from salz_tpu import format as fmt
 from salz_tpu.format import TAIL_RESERVE
 from salz_tpu.ops.ansv import ansv_slots_vals_batch
-from salz_tpu.ops.emit import emit_stream
+from salz_tpu.ops.emit import emit_stream_batch
 from salz_tpu.ops.lcp import adjacent_lcp_batch, candidate_lengths_slot_batch
 from salz_tpu.ops.parse import (
     optimal_parse_chunked_batch,
@@ -63,7 +63,7 @@ def encode_blocks_device(
     valid = idx < ns[:, None]
     vals = jnp.where(valid, sa, jnp.int32(2**31 - 1))
     lslot, psv_val, rslot, nsv_val = ansv_slots_vals_batch(vals, ns, cap=cap)
-    lcp_adj = adjacent_lcp_batch(ckpt, ns, sa, t32, p32, cap=cap)
+    lcp_adj = adjacent_lcp_batch(ckpt, n_levels, ns, sa, t32, p32, cap=cap)
     psv_len_s, nsv_len_s = candidate_lengths_slot_batch(
         lcp_adj, lslot, rslot, ns, cap=cap
     )
@@ -89,9 +89,7 @@ def encode_blocks_device(
             )
         )(psv_offs, psv_len, nsv_offs, nsv_len, ns)
 
-    return jax.vmap(lambda b, bl, o, l: emit_stream(b, bl, o, l, cap=cap))(
-        blocks, block_lens, offs, length
-    )
+    return emit_stream_batch(blocks, block_lens, offs, length, cap=cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "parse"))

@@ -88,17 +88,20 @@ def _match32(x, y):
     return jnp.minimum(jax.lax.clz(x ^ y) >> 3, 4)  # clz(0) = 32 -> 4
 
 
-def _descend_levels(ckpt, nb, vrow, a, b, l0, vmask, levels, *, cap: int):
-    """Capped checkpoint descent: add 2^lev when ranks at (a+l, b+l) agree.
+def _descend_dynamic(ckpt, jmax, nb, vrow, a, b, l0, vmask, *, cap: int):
+    """Exact checkpoint descent with a DYNAMIC top level: for lev from
+    jmax-1 down to 3, add 2^lev when ranks at (a+l, b+l) agree. The trip
+    count adapts to the data (jmax = highest filled level), so blocks with
+    short repeats never pay for high-level probes. Resolves any remaining
+    match < 2^jmax down to a remainder < 8 (finish with _tail8)."""
+    B, m = a.shape
 
-    `levels` is a STATIC descending schedule; ckpt levels never filled hold
-    all-distinct values, so their equality tests are vacuously false.
-    """
-    m = a.shape[1]
-    l = l0
-    for lev in levels:
-        tab = ckpt[:, lev, :].reshape(-1)
-        h = jnp.int32(1 << lev)
+    def body(t, l):
+        lev = jmax - 1 - t
+        tab = jax.lax.dynamic_slice(
+            ckpt, (0, lev, 0), (B, 1, ckpt.shape[2])
+        ).reshape(-1)
+        h = jnp.int32(1) << lev
         ai = a + l
         bi = b + l
         fits = vmask & (ai + h <= nb) & (bi + h <= nb)
@@ -107,8 +110,9 @@ def _descend_levels(ckpt, nb, vrow, a, b, l0, vmask, levels, *, cap: int):
             axis=1,
         )
         g = tab[q]
-        l = jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
-    return l
+        return jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
+
+    return jax.lax.fori_loop(0, jnp.maximum(jmax - 3, 0), body, l0)
 
 
 def _tail8(t32f, nb, vrow, a, b, l, vmask, *, cap: int):
@@ -134,6 +138,7 @@ def _tail8(t32f, nb, vrow, a, b, l, vmask, *, cap: int):
 @functools.partial(jax.jit, static_argnames=("cap",))
 def adjacent_lcp_batch(
     ckpt: jax.Array,
+    n_levels: jax.Array,
     n: jax.Array,
     sa: jax.Array,
     t32: jax.Array,
@@ -144,40 +149,50 @@ def adjacent_lcp_batch(
     """lcp_adj int32[B, cap] in SLOT order: entry k = LCP(sa[k-1], sa[k]) for
     k in [1, n); entries outside are 0.
 
+    Pairs with LCP < 32 are resolved by shifted-slice compares of the carried
+    32-byte prefixes — zero gathers. Survivors are compacted into a static
+    bucket (two sizes, cond on the count) and run ONE exact dynamic-depth
+    checkpoint descent: the top level is max(n_levels)-1, whose ranks are
+    all-distinct, so any match < 2^top resolves exactly — no saturation or
+    escalation machinery. An 8-byte text probe finishes the sub-8 remainder.
+
     Args:
       ckpt: int32[B, L, cap] rank checkpoints.
+      n_levels: int32[B] filled level counts.
       sa: int32[B, cap] suffix arrays.
       t32: int32[B, 2, cap] text-order packed byte windows (+0..3 / +4..7).
-      p32: int32[B, 4, cap] slot-order packed 16-byte suffix prefixes.
+      p32: int32[B, 8, cap] slot-order packed 32-byte suffix prefixes.
     """
     B = sa.shape[0]
-    L = int(ckpt.shape[1])
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     nb = n[:, None]
     vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
     t32f = t32.transpose(1, 0, 2).reshape(2, -1)
+    jmax = jnp.max(n_levels) - 1  # top filled level: ranks all-distinct
 
     a_base = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), sa[:, :-1]], axis=1)
     b_base = sa
     valid_k = (idx >= 1) & (idx < nb)
     limit = nb - jnp.maximum(a_base, b_base)
 
-    # ---- free 16-byte compare: adjacent pairs differ by ONE slot, so both
+    # ---- free 32-byte compare: adjacent pairs differ by ONE slot, so both
     # sides of every compare are shifted slices of the carried prefixes.
     def _adj(w):  # value of word w at slot k-1
         return jnp.concatenate([jnp.zeros((B, 1), jnp.int32), w[:, :-1]], axis=1)
 
-    l16 = jnp.zeros((B, cap), jnp.int32)
+    l32 = jnp.zeros((B, cap), jnp.int32)
     run = jnp.ones((B, cap), jnp.bool_)
-    for w in range(4):
+    for w in range(8):
         mw = _match32(_adj(p32[:, w, :]), p32[:, w, :])
-        l16 = l16 + jnp.where(run, mw, 0)
+        l32 = l32 + jnp.where(run, mw, 0)
         run = run & (mw == 4)
-    lcp_free = jnp.where(valid_k, jnp.minimum(l16, limit), 0)
+    lcp_free = jnp.where(valid_k, jnp.minimum(l32, limit), 0)
 
-    survivor = valid_k & (l16 >= 16) & (limit > 16)
-    count1 = jnp.sum(survivor.astype(jnp.int32), axis=1)
-    M1 = max(cap // 2, 1024)
+    survivor = valid_k & (l32 >= 32) & (limit > 32)
+    count = jnp.sum(survivor.astype(jnp.int32), axis=1)
+    max_count = jnp.max(count)
+    M_SMALL = max(cap // 16, 512)  # binaries/plain text: ~0-3% survivors
+    M_BIG = max(cap // 4, 512)  # source code: ~15-20% survivors
 
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (sa - sa)
     _, qk_all, qa_all, qb_all = jax.lax.sort(
@@ -186,81 +201,40 @@ def adjacent_lcp_batch(
         dimension=1,
     )
 
-    # Descend to level 3 so the unresolved remainder is < 8 — exactly what
-    # one 8-byte tail probe resolves. Cap = 16 + 120 + 8 = 144.
-    capped_levels = [6, 5, 4, 3]
-    sat_cap = 16 + sum(1 << l for l in capped_levels) + 8
-    M2 = max(cap // 32, 1024)
+    def _resolve(qa, qb, vmask):
+        l0 = jnp.where(vmask, jnp.full(qa.shape, 32, jnp.int32), 0)
+        l1 = _descend_dynamic(ckpt, jmax, nb, vrow, qa, qb, l0, vmask, cap=cap)
+        return l1 + _tail8(t32f, nb, vrow, qa, qb, l1, vmask, cap=cap)
 
-    def _exact_saturated(lcp_c, a, b, vmask, *, rows: int):
-        """Escalate entries of lcp_c that hit sat_cap to the exact value via
-        a full descent, compacted into an M2 bucket (cond: full on overflow).
-        Returns lcp_c with saturated entries replaced."""
-        limit_q = nb - jnp.maximum(a, b)
-        sat = vmask & (lcp_c == sat_cap) & (limit_q > sat_cap)
-        cnt = jnp.sum(sat.astype(jnp.int32), axis=1)
-        riota = jnp.arange(rows, dtype=jnp.int32)[None, :] + (a - a)
-        _, rk, ra, rb = jax.lax.sort(
-            (jnp.where(sat, 0, 1).astype(jnp.int32), riota, a, b),
-            num_keys=1,
-            dimension=1,
-        )
-        rrow = (jnp.arange(B, dtype=jnp.int32) * rows)[:, None]
-
-        def bucket(_):
-            validb = jnp.arange(M2, dtype=jnp.int32)[None, :] < cnt[:, None]
-            l2 = _descend_levels(
-                ckpt, nb, vrow, ra[:, :M2], rb[:, :M2],
-                jnp.zeros((B, M2), jnp.int32), validb,
-                list(range(L - 1, -1, -1)), cap=cap,
-            )
-            flat = jnp.where(validb, rrow + jnp.clip(rk[:, :M2], 0, rows - 1), B * rows)
+    def bucket_path(M: int):
+        def fn(_):
+            qk = jnp.clip(qk_all[:, :M], 0, cap - 1)
+            qa = qa_all[:, :M]
+            qb = qb_all[:, :M]
+            validb = jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
+            l1 = _resolve(qa, qb, validb)
+            flat = jnp.where(validb, vrow + qk, B * cap)
             return (
-                lcp_c.reshape(-1)
+                lcp_free.reshape(-1)
                 .at[flat.reshape(-1)]
-                .set(l2.reshape(-1), mode="drop")
-                .reshape(B, rows)
+                .set(l1.reshape(-1), mode="drop")
+                .reshape(B, cap)
             )
 
-        def full(_):
-            l2 = _descend_levels(
-                ckpt, nb, vrow, a, b, jnp.zeros((B, rows), jnp.int32), sat,
-                list(range(L - 1, -1, -1)), cap=cap,
-            )
-            return jnp.where(sat, l2, lcp_c)
-
-        return jax.lax.cond(jnp.max(cnt) <= M2, bucket, full, 0)
-
-    def bucket_path(_):
-        qk = jnp.clip(qk_all[:, :M1], 0, cap - 1)
-        qa = qa_all[:, :M1]
-        qb = qb_all[:, :M1]
-        validb = jnp.arange(M1, dtype=jnp.int32)[None, :] < count1[:, None]
-        l0 = jnp.full((B, M1), 16, jnp.int32)
-        l1 = _descend_levels(ckpt, nb, vrow, qa, qb, l0, validb, capped_levels, cap=cap)
-        l1 = l1 + _tail8(t32f, nb, vrow, qa, qb, l1, validb, cap=cap)
-        l1 = _exact_saturated(l1, qa, qb, validb, rows=M1)
-        limit_q = nb - jnp.maximum(qa, qb)
-        l1 = jnp.minimum(l1, limit_q)
-        flat = jnp.where(validb, vrow + qk, B * cap)
-        return (
-            lcp_free.reshape(-1)
-            .at[flat.reshape(-1)]
-            .set(l1.reshape(-1), mode="drop")
-            .reshape(B, cap)
-        )
+        return fn
 
     def full_path(_):
-        l0 = jnp.full((B, cap), 16, jnp.int32)
-        l1 = _descend_levels(
-            ckpt, nb, vrow, a_base, b_base, l0, survivor, capped_levels, cap=cap
-        )
-        l1 = l1 + _tail8(t32f, nb, vrow, a_base, b_base, l1, survivor, cap=cap)
-        l1 = _exact_saturated(l1, a_base, b_base, survivor, rows=cap)
-        l1 = jnp.minimum(l1, limit)
+        l1 = _resolve(a_base, b_base, survivor)
         return jnp.where(survivor, l1, lcp_free)
 
-    return jax.lax.cond(jnp.max(count1) <= M1, bucket_path, full_path, 0)
+    return jax.lax.cond(
+        max_count <= M_SMALL,
+        bucket_path(M_SMALL),
+        lambda _: jax.lax.cond(
+            max_count <= M_BIG, bucket_path(M_BIG), full_path, 0
+        ),
+        0,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,18 +1,31 @@
 """Cost-optimal parse selection (the reference's backward DP, salz.c:610-662).
 
-Two implementations with identical results:
+Three implementations with identical results:
 
 * `optimal_parse_sequential` — a literal backward `lax.fori_loop`. O(n) serial
-  steps; exact by construction. This is the conformance baseline and the CPU
-  test path.
+  steps; exact by construction. This is the conformance baseline.
 
-* `optimal_parse_chunked` — the TPU-native formulation: process the text in
-  chunks from the back; inside a chunk, iterate a vectorized
-  Bellman-Ford/suffix-min fixpoint until costs stop changing. The DP values
-  are a unique fixpoint, so at convergence the chosen factors (with the
-  reference's strict literal < PSV < NSV tie order) are identical to the
-  sequential result. Each fixpoint round is dense vector work (VPU-friendly);
-  the number of rounds adapts to the data (chains of dependent short factors).
+* the XLA chunked path — chunks processed back to front by a fori_loop; inside
+  a chunk, a vectorized Bellman-Ford/suffix-min fixpoint runs until costs stop
+  changing. Backend-generic (the CPU test path).
+
+* the TPU sweep kernel — ONE Pallas call whose sequential grid walks
+  2048-position super-chunks back to front, processing sixteen 128-wide
+  sub-chunks per step (statically unrolled). A rolling VMEM window holds the
+  next `window` values of u, so crossing-edge contributions are lane gathers
+  from on-chip memory; the in-row fixpoint iterates on single (B, 128) vreg
+  tiles. Measured fixpoint work totals ~n/12 rounds independent of chunk
+  size, so narrow rows minimize total vector work; the old per-chunk
+  formulation paid ~2048 XLA dispatches + Pallas call overheads per block.
+
+All paths work on u[p] = cost[p] - 9*(n - p) (the literal-chain potential), so
+the literal edge becomes a suffix min and each factor edge a gather. The DP
+values are a unique fixpoint over a forward DAG, so at convergence the chosen
+factors (with the reference's strict literal < PSV < NSV tie order,
+salz.c:636,651) are identical to the sequential result. Factor edges longer
+than `window` are rare (they need a repeat longer than `window`); they are
+handled by an exact outer value-iteration loop that re-sweeps with frozen
+far-edge contributions until nothing improves.
 
 Costs fit int32: total <= 9 * (16 MiB) < 2^31.
 """
@@ -29,92 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 from salz_tpu.format import FACTOR_LENGTH_MIN, VNIBBLE_THRESHOLDS
 
 # Large-but-safe sentinel: INF + INF and INF + real cost must stay < 2^31
-# (they appear transiently in the chunked fixpoint before convergence).
+# (they appear transiently in the fixpoint before convergence).
 _INF = jnp.int32(2**28)
 _INT_INF = 2**28  # plain-int twin for Pallas kernels (no captured consts)
 
-
-def _fixpoint_kernel(
-    pre_ref, pw_ref, nw_ref, ptl_ref, ntl_ref, rest_ref, act_ref, bnd_ref,
-    out_ref, *, chunk: int
-):
-    """In-chunk DP fixpoint (see optimal_parse_chunked_batch) as one kernel.
-
-    The fixpoint needs ~depth-of-the-in-chunk-factor-chains rounds (tens per
-    chunk, ~n/15 total per block); at XLA op-dispatch granularity each round
-    costs ~100us, in-kernel ~0.5us. Chunk-local gathers decompose into
-    chunk/128 Mosaic lane gathers + selects.
-    """
-    W = chunk // 128
-    pre = pre_ref[:]
-    pw = pw_ref[:]
-    nw = nw_ref[:]
-    ptl = ptl_ref[:]
-    ntl = ntl_ref[:]
-    rest = rest_ref[:]
-    act = act_ref[:] != 0
-    bnd = bnd_ref[:]  # (B, 1) boundary value u[hi]
-    B = pre.shape[0]
-
-    def wgather(ul, j):
-        # ul (B, chunk); j in [0, chunk], j == chunk -> boundary value.
-        # Mosaic lane gathers need table and indices of identical (r, 128)
-        # shape: repeat each 128-lane tile W times along sublanes and gather
-        # with the reshaped per-tile indices, then select by tile id.
-        # Mosaic lane gathers need table and indices of IDENTICAL (B, 128)
-        # shape, so decompose into W source tiles x W index column-groups.
-        lane = j & 127
-        tile = j >> 7
-        groups = []
-        for wj in range(W):
-            sl = slice(128 * wj, 128 * (wj + 1))
-            g_out = jnp.broadcast_to(bnd, (B, 128))
-            for w in range(W):
-                cand = jnp.take_along_axis(
-                    ul[:, 128 * w : 128 * (w + 1)], lane[:, sl], axis=1
-                )
-                g_out = jnp.where(tile[:, sl] == w, cand, g_out)
-            groups.append(g_out)
-        return jnp.concatenate(groups, axis=1)
-
-    def suffmin(v):
-        # Backward running min over lanes, then fold in the boundary seed.
-        s = v
-        h = 1
-        while h < chunk:
-            shifted = jnp.concatenate(
-                [s[:, h:], jnp.full((B, h), _INT_INF, jnp.int32)], axis=1
-            )
-            s = jnp.minimum(s, shifted)
-            h *= 2
-        return jnp.minimum(s, bnd)
-
-    def relax(state):
-        ul, _, it = state
-        v = jnp.minimum(
-            pre, jnp.minimum(pw + wgather(ul, ptl), nw + wgather(ul, ntl))
-        )
-        v = jnp.where(act, v, rest)
-        new = jnp.where(act, suffmin(v), rest)
-        return new, ul, it + 1
-
-    def cond(state):
-        ul, prev, it = state
-        return jnp.any(ul != prev) & (it <= chunk)
-
-    ul0 = jnp.full((B, chunk), _INT_INF, jnp.int32)
-    state = relax((ul0, ul0, jnp.int32(0)))
-    out_ref[:] = jax.lax.while_loop(cond, relax, state)[0]
-
-
-def _fixpoint_tpu(pre, pw_in, nw_in, ptl, ntl, rest, act, boundary, chunk):
-    B = pre.shape[0]
-    return pl.pallas_call(
-        functools.partial(_fixpoint_kernel, chunk=chunk),
-        out_shape=jax.ShapeDtypeStruct((B, chunk), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(pre, pw_in, nw_in, ptl, ntl, rest, act.astype(jnp.int32), boundary)
+_SUP = 2048  # positions per grid step
+_C = 128  # sub-chunk width = lane count
+_K = _SUP // _C
 
 
 def _vnibble_size_vec(v):
@@ -154,14 +88,14 @@ def optimal_parse_sequential(
         best_offs = jnp.int32(0)
         best_len = jnp.int32(1)
 
-        pl = psv_len[p]
+        pl_ = psv_len[p]
         pc = jnp.where(
-            psv_ok[p], psv_static[p] + cost[jnp.clip(p + pl, 0, cap)], _INF
+            psv_ok[p], psv_static[p] + cost[jnp.clip(p + pl_, 0, cap)], _INF
         )
         take = pc < best_cost
         best_cost = jnp.where(take, pc, best_cost)
         best_offs = jnp.where(take, psv_offs[p], best_offs)
-        best_len = jnp.where(take, pl, best_len)
+        best_len = jnp.where(take, pl_, best_len)
 
         nl = nsv_len[p]
         nc = jnp.where(
@@ -183,42 +117,171 @@ def optimal_parse_sequential(
     return offs, length, cost
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "chunk"))
+# ---------------------------------------------------------------------------
+# TPU sweep kernel
+# ---------------------------------------------------------------------------
+
+
+def _shift_left_lane(a, h, fill):
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    rolled = pltpu.roll(a, shift=_C - h, axis=1)
+    return jnp.where(lane < _C - h, rolled, fill)
+
+
+def _sweep_kernel(
+    nb_ref, pw_ref, nw_ref, pt_ref, nt_ref, far_ref, out_ref, S, *,
+    cap: int, window: int
+):
+    """One backward sweep over all positions; see module docstring.
+
+    S (VMEM scratch, (B, _SUP + window)) holds u[lo_s : lo_s + _SUP + window)
+    for the current super-chunk base lo_s; the grid walks super-chunks from
+    the back, shifting S by _SUP after each step."""
+    c = pl.program_id(0)
+    nsup = pl.num_programs(0)
+    nb = nb_ref[:]  # (B, 1)
+    B = nb.shape[0]
+    lo_s = (nsup - 1 - c) * _SUP
+
+    @pl.when(c == 0)
+    def _init():
+        gcol = jax.lax.broadcasted_iota(
+            jnp.int32, (B, _SUP + window), 1
+        ) + (cap - _SUP)
+        S[:] = jnp.where((gcol >= nb) & (gcol <= cap), 0, _INT_INF).astype(
+            jnp.int32
+        )
+
+    pw = pw_ref[:]
+    nw = nw_ref[:]
+    pt = pt_ref[:]
+    nt = nt_ref[:]
+    far = far_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, _C), 1)
+
+    def wgather(win, j):
+        """win (B, window), j (B, _C) in [0, window) -> win[b, j]."""
+        tile = j >> 7
+        lj = j & (_C - 1)
+        g = jnp.full((B, _C), _INT_INF, jnp.int32)
+        for wt in range(window // _C):
+            cand = jnp.take_along_axis(win[:, _C * wt : _C * (wt + 1)], lj, axis=1)
+            g = jnp.where(tile == wt, cand, g)
+        return g
+
+    for i in range(_K - 1, -1, -1):
+        sl = slice(_C * i, _C * (i + 1))
+        win = S[:, _C * (i + 1) : _C * (i + 1) + window]
+        hi = lo_s + _C * (i + 1)
+        boundary = win[:, 0:1]
+        ptl = pt[:, sl]
+        ntl = nt[:, sl]
+        pwl = pw[:, sl]
+        nwl = nw[:, sl]
+        pos = lo_s + _C * i + lane
+        act = (pos >= 1) & (pos < nb)
+        rest = jnp.where(pos >= nb, 0, _INT_INF).astype(jnp.int32)
+
+        # Crossing edges: targets in [hi, hi + window) are FINAL — gather once.
+        dp = ptl - hi
+        dn = ntl - hi
+        p_near = (dp >= 0) & (dp < window)
+        n_near = (dn >= 0) & (dn < window)
+        gp = wgather(win, jnp.clip(dp, 0, window - 1))
+        gn = wgather(win, jnp.clip(dn, 0, window - 1))
+        pre = jnp.minimum(
+            jnp.where(p_near, pwl + gp, _INT_INF),
+            jnp.where(n_near, nwl + gn, _INT_INF),
+        )
+        pre = jnp.minimum(pre, far[:, sl])
+
+        # In-row edges (strictly below hi; t == hi is a crossing edge above).
+        p_in = dp < 0
+        n_in = dn < 0
+        plo = jnp.where(p_in, ptl - (hi - _C), 0)
+        nlo = jnp.where(n_in, ntl - (hi - _C), 0)
+        pw_in = jnp.where(p_in, pwl, _INT_INF)
+        nw_in = jnp.where(n_in, nwl, _INT_INF)
+
+        def relax1(ul):
+            v = jnp.minimum(
+                pre,
+                jnp.minimum(
+                    pw_in + jnp.take_along_axis(ul, plo, axis=1),
+                    nw_in + jnp.take_along_axis(ul, nlo, axis=1),
+                ),
+            )
+            v = jnp.where(act, v, rest)
+            s = v
+            for h in (1, 2, 4, 8, 16, 32, 64):
+                s = jnp.minimum(s, _shift_left_lane(s, h, _INT_INF))
+            s = jnp.minimum(s, boundary)
+            return jnp.where(act, s, rest)
+
+        # Grouped fixpoint: 4 relaxations per convergence check (the check is
+        # a vector reduce + scalar branch; extra relaxes are idempotent).
+        def group(ul):
+            return relax1(relax1(relax1(relax1(ul))))
+
+        ul0 = jnp.full((B, _C), _INT_INF, jnp.int32)
+        state = (group(relax1(ul0)), ul0, jnp.int32(0))
+
+        def cond(st):
+            ul, prev, it = st
+            return jnp.any(ul != prev) & (it < _C // 2)
+
+        def body(st):
+            ul, _, it = st
+            return group(ul), ul, it + 1
+
+        ul = jax.lax.while_loop(cond, body, state)[0]
+        S[:, sl] = ul
+
+    out_ref[:] = S[:, :_SUP]
+    # Shift the window for the next (earlier) super-chunk.
+    tail = S[:, :window]
+    S[:, _SUP : _SUP + window] = tail
+
+
+def _sweep_tpu(nb, pw, nw, pt, nt, pre_far, *, cap: int, window: int):
+    B = pw.shape[0]
+    nsup = cap // _SUP
+    spec = lambda: pl.BlockSpec(
+        (B, _SUP), lambda c: (0, nsup - 1 - c), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_sweep_kernel, cap=cap, window=window),
+        grid=(nsup,),
+        out_shape=jax.ShapeDtypeStruct((B, cap), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            spec(), spec(), spec(), spec(), spec(),
+        ],
+        out_specs=spec(),
+        scratch_shapes=[pltpu.VMEM((B, _SUP + window), jnp.int32)],
+    )(nb, pw, nw, pt, nt, pre_far)
+
+
+# ---------------------------------------------------------------------------
+# chunked/batched driver
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "chunk", "window"))
 def optimal_parse_chunked_batch(
-    psv_offs, psv_len, nsv_offs, nsv_len, n, *, cap: int, chunk: int = 512
+    psv_offs, psv_len, nsv_offs, nsv_len, n, *,
+    cap: int, chunk: int = 512, window: int = 2048
 ):
     """Vectorized chunked-fixpoint DP over a BATCH of blocks; identical
-    results to the per-block sequential DP.
-
-    Works on u[p] = cost[p] - 9*(n - p) (the literal-chain potential), so the
-    literal edge becomes u[p] = min(u[p+1], ...) — a suffix min — and each
-    factor edge a gather. Chunks are processed back to front. Per chunk, the
-    contributions of factor edges that LEAVE the chunk are gathered once
-    (their targets are already final); the in-chunk fixpoint then iterates on
-    (B, chunk) tiles only. The DP values are a unique fixpoint over a forward
-    DAG, so at convergence the chosen factors (with the reference's strict
-    literal < PSV < NSV tie order) are identical to the sequential result.
+    results to the per-block sequential DP. See module docstring.
 
     Batch-native on purpose: all gathers are FLAT 1-D gathers with per-block
     base offsets — XLA lowers batched (vmapped) gathers an order of magnitude
     slower on TPU. Inputs are (B, cap) arrays and n is (B,).
     """
-    assert cap % chunk == 0
     B = psv_offs.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     nb = n[:, None]
-
-    # Gathers from a fori_loop CARRY force XLA to copy the whole operand
-    # (measured ~650us/chunk regardless of gather size), so the u array is
-    # padded with an INF window tail and every per-chunk read goes through a
-    # dynamic_slice window + small-operand gather (~44us/chunk). Edges whose
-    # targets fall beyond the window (factor length > WINDOW — needs repeats
-    # longer than the window) are handled by an exact outer value-iteration
-    # sweep below; WINDOW >= cap degenerates to a single sweep.
-    WINDOW = min(8192, cap)
-    stride = cap + WINDOW + 1
-    stride += (-stride) % 128  # aligned rows
-    brow = (jnp.arange(B, dtype=jnp.int32) * stride)[:, None]
 
     psv_ok = psv_len >= FACTOR_LENGTH_MIN
     nsv_ok = nsv_len >= FACTOR_LENGTH_MIN
@@ -233,105 +296,132 @@ def optimal_parse_chunked_batch(
     psv_tgt = jnp.clip(jnp.where(psv_ok, idx + psv_len, cap), 0, cap)
     nsv_tgt = jnp.clip(jnp.where(nsv_ok, idx + nsv_len, cap), 0, cap)
 
-    # u over [0, cap] per block (padded to `stride`): u[p] = cost[p] - 9*(n-p)
-    # for p in [1, n); u[p >= n] = 0; the pad tail stays INF and is never a
-    # legal target (targets are clipped to cap).
-    sidx = jnp.arange(stride, dtype=jnp.int32)[None, :]
-    u0 = jnp.where((sidx >= nb) & (sidx <= cap), jnp.int32(0), _INF)
-    u0 = jnp.broadcast_to(u0, (B, stride)).astype(jnp.int32)
+    use_pallas = (
+        jax.default_backend() == "tpu" and cap % _SUP == 0 and window % _C == 0
+    )
 
-    num_chunks = cap // chunk
-    cidx = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    use_pallas = jax.default_backend() == "tpu" and chunk % 128 == 0
-    wrow = (jnp.arange(B, dtype=jnp.int32) * (WINDOW + 1))[:, None]
-    lrow = (jnp.arange(B, dtype=jnp.int32) * (chunk + 1))[:, None]
+    if use_pallas:
+        WINDOW = min(window, cap)
+        nb2 = jnp.reshape(n, (B, 1)).astype(jnp.int32)
 
-    def sweep(pre_far, u):
-        """One full backward pass over all chunks with far-edge contributions
-        frozen in pre_far (exact when no admissible edge exceeds WINDOW)."""
-
-        def chunk_body(c, u):
-            lo = (num_chunks - 1 - c) * chunk
-            pw = jax.lax.dynamic_slice(psv_w, (0, lo), (B, chunk))
-            nw = jax.lax.dynamic_slice(nsv_w, (0, lo), (B, chunk))
-            pt = jax.lax.dynamic_slice(psv_tgt, (0, lo), (B, chunk))
-            nt = jax.lax.dynamic_slice(nsv_tgt, (0, lo), (B, chunk))
-            pos = lo + cidx
-            act = (pos >= 1) & (pos < nb)
-            rest = jnp.where(pos >= nb, 0, _INF)
-            hi = lo + chunk
-            # u[hi : hi + WINDOW + 1]: everything a near edge can reach.
-            win = jax.lax.dynamic_slice(u, (0, hi), (B, WINDOW + 1))
-            boundary = win[:, :1]
-
-            # Near crossing edges: hi <= target <= hi + WINDOW (final),
-            # gathered from the small window operand in one fused gather.
-            qw = jnp.concatenate(
-                [
-                    wrow + jnp.clip(pt - hi, 0, WINDOW),
-                    wrow + jnp.clip(nt - hi, 0, WINDOW),
-                ],
-                axis=1,
+        def sweep(pre_far, _unused):
+            u_main = _sweep_tpu(
+                nb2, psv_w, nsv_w, psv_tgt, nsv_tgt, pre_far,
+                cap=cap, window=WINDOW,
             )
-            g = win.reshape(-1)[qw]
-            p_near = (pt >= hi) & (pt - hi <= WINDOW)
-            n_near = (nt >= hi) & (nt - hi <= WINDOW)
-            pre = jnp.minimum(
-                jnp.where(p_near, pw + g[:, :chunk], _INF),
-                jnp.where(n_near, nw + g[:, chunk:], _INF),
+            return jnp.concatenate(
+                [u_main, jnp.zeros((B, 1), jnp.int32)], axis=1
+            )  # u[cap] = 0
+
+        hi_of = ((idx >> 7) + 1) * _C
+        brow_u = (jnp.arange(B, dtype=jnp.int32) * (cap + 1))[:, None]
+
+        def far_mask():
+            return (
+                psv_ok & (psv_tgt >= hi_of + WINDOW),
+                nsv_ok & (nsv_tgt >= hi_of + WINDOW),
             )
-            pre = jnp.minimum(
-                pre, jax.lax.dynamic_slice(pre_far, (0, lo), (B, chunk))
-            )
-            # In-chunk local targets (index into the chunk-local u tile of
-            # width chunk + 1 whose last column is the boundary value).
-            p_in = pt < hi
-            n_in = nt < hi
-            ptl = jnp.where(p_in, pt - lo, chunk)
-            ntl = jnp.where(n_in, nt - lo, chunk)
-            pw_in = jnp.where(p_in, pw, _INF)
-            nw_in = jnp.where(n_in, nw, _INF)
+    else:
+        WINDOW = min(8192, cap)
+        # Gathers from a fori_loop CARRY force XLA to copy the whole operand,
+        # so u is padded with an INF window tail and every per-chunk read goes
+        # through a dynamic_slice window + small-operand gather.
+        stride = cap + WINDOW + 1
+        stride += (-stride) % 128  # aligned rows
+        sidx = jnp.arange(stride, dtype=jnp.int32)[None, :]
+        u0 = jnp.where((sidx >= nb) & (sidx <= cap), jnp.int32(0), _INF)
+        u0 = jnp.broadcast_to(u0, (B, stride)).astype(jnp.int32)
+        num_chunks = cap // chunk
+        cidx = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        wrow = (jnp.arange(B, dtype=jnp.int32) * (WINDOW + 1))[:, None]
+        lrow = (jnp.arange(B, dtype=jnp.int32) * (chunk + 1))[:, None]
+        brow_u = (jnp.arange(B, dtype=jnp.int32) * stride)[:, None]
 
-            if use_pallas:
-                ul = _fixpoint_tpu(
-                    pre, pw_in, nw_in, ptl, ntl, rest, act, boundary, chunk
-                )
-                return jax.lax.dynamic_update_slice(u, ul, (0, lo))
+        def sweep(pre_far, u):
+            """One full backward pass over all chunks with far-edge
+            contributions frozen in pre_far."""
 
-            def lgat(ul, j):
-                return ul.reshape(-1)[lrow + j]
+            def chunk_body(c, u):
+                lo = (num_chunks - 1 - c) * chunk
+                pw = jax.lax.dynamic_slice(psv_w, (0, lo), (B, chunk))
+                nw = jax.lax.dynamic_slice(nsv_w, (0, lo), (B, chunk))
+                pt = jax.lax.dynamic_slice(psv_tgt, (0, lo), (B, chunk))
+                nt = jax.lax.dynamic_slice(nsv_tgt, (0, lo), (B, chunk))
+                pos = lo + cidx
+                act = (pos >= 1) & (pos < nb)
+                rest = jnp.where(pos >= nb, 0, _INF)
+                hi = lo + chunk
+                # u[hi : hi + WINDOW + 1]: everything a near edge can reach.
+                win = jax.lax.dynamic_slice(u, (0, hi), (B, WINDOW + 1))
+                boundary = win[:, :1]
 
-            def relax(state):
-                ul, _, it = state
-                v = jnp.minimum(
-                    pre,
-                    jnp.minimum(pw_in + lgat(ul, ptl), nw_in + lgat(ul, ntl)),
-                )
-                v = jnp.where(act, v, rest)
-                # Backward running min seeded with the boundary value u[hi].
-                vv = jnp.concatenate([v, boundary], axis=1)
-                new_ul = jax.lax.cummin(vv, axis=1, reverse=True)
-                new_ul = jnp.concatenate(
-                    [jnp.where(act, new_ul[:, :chunk], rest), boundary],
+                qw = jnp.concatenate(
+                    [
+                        wrow + jnp.clip(pt - hi, 0, WINDOW),
+                        wrow + jnp.clip(nt - hi, 0, WINDOW),
+                    ],
                     axis=1,
                 )
-                return new_ul, ul, it + 1
+                g = win.reshape(-1)[qw]
+                p_near = (pt >= hi) & (pt - hi <= WINDOW)
+                n_near = (nt >= hi) & (nt - hi <= WINDOW)
+                pre = jnp.minimum(
+                    jnp.where(p_near, pw + g[:, :chunk], _INF),
+                    jnp.where(n_near, nw + g[:, chunk:], _INF),
+                )
+                pre = jnp.minimum(
+                    pre, jax.lax.dynamic_slice(pre_far, (0, lo), (B, chunk))
+                )
+                p_in = pt < hi
+                n_in = nt < hi
+                ptl = jnp.where(p_in, pt - lo, chunk)
+                ntl = jnp.where(n_in, nt - lo, chunk)
+                pw_in = jnp.where(p_in, pw, _INF)
+                nw_in = jnp.where(n_in, nw, _INF)
 
-            def cond(state):
-                ul, prev, it = state
-                return jnp.any(ul != prev) & (it <= chunk)
+                def lgat(ul, j):
+                    return ul.reshape(-1)[lrow + j]
 
-            ul0 = jnp.concatenate(
-                [jnp.full((B, chunk), _INF, jnp.int32), boundary], axis=1
+                def relax(state):
+                    ul, _, it = state
+                    v = jnp.minimum(
+                        pre,
+                        jnp.minimum(
+                            pw_in + lgat(ul, ptl), nw_in + lgat(ul, ntl)
+                        ),
+                    )
+                    v = jnp.where(act, v, rest)
+                    vv = jnp.concatenate([v, boundary], axis=1)
+                    new_ul = jax.lax.cummin(vv, axis=1, reverse=True)
+                    new_ul = jnp.concatenate(
+                        [jnp.where(act, new_ul[:, :chunk], rest), boundary],
+                        axis=1,
+                    )
+                    return new_ul, ul, it + 1
+
+                def cond(state):
+                    ul, prev, it = state
+                    return jnp.any(ul != prev) & (it <= chunk)
+
+                ul0 = jnp.concatenate(
+                    [jnp.full((B, chunk), _INF, jnp.int32), boundary], axis=1
+                )
+                state = relax((ul0, ul0, jnp.int32(0)))
+                ul, _, _ = jax.lax.while_loop(cond, relax, state)
+                return jax.lax.dynamic_update_slice(u, ul[:, :chunk], (0, lo))
+
+            return jax.lax.fori_loop(0, num_chunks, chunk_body, u0)
+
+        hi_of = (idx // chunk + 1) * chunk
+
+        def far_mask():
+            return (
+                psv_ok & (psv_tgt - hi_of > WINDOW),
+                nsv_ok & (nsv_tgt - hi_of > WINDOW),
             )
-            state = relax((ul0, ul0, jnp.int32(0)))
-            ul, _, _ = jax.lax.while_loop(cond, relax, state)
-            return jax.lax.dynamic_update_slice(u, ul[:, :chunk], (0, lo))
-
-        return jax.lax.fori_loop(0, num_chunks, chunk_body, u)
 
     pre_far0 = jnp.full((B, cap), _INF, jnp.int32) + (psv_w - psv_w)
-    u = sweep(pre_far0, u0)
+    u = sweep(pre_far0, None)
 
     if WINDOW < cap:
         # Ultra-far edges (factor length > WINDOW): exact asynchronous value
@@ -340,12 +430,10 @@ def optimal_parse_chunked_batch(
         # monotonically and every sweep fully relaxes all near edges, so the
         # loop terminates at the exact DP fixpoint (typically 0 extra sweeps:
         # it needs a repeat longer than WINDOW to run even once).
-        hi_of = (idx // chunk + 1) * chunk
-        p_far = psv_ok & (psv_tgt - hi_of > WINDOW)
-        n_far = nsv_ok & (nsv_tgt - hi_of > WINDOW)
+        p_far, n_far = far_mask()
 
         def far_pre(u):
-            q = jnp.concatenate([brow + psv_tgt, brow + nsv_tgt], axis=1)
+            q = jnp.concatenate([brow_u + psv_tgt, brow_u + nsv_tgt], axis=1)
             g = u.reshape(-1)[q]
             return jnp.minimum(
                 jnp.where(p_far, psv_w + g[:, :cap], _INF),
@@ -364,7 +452,7 @@ def optimal_parse_chunked_batch(
 
         def outer_body(state):
             u, pre_far, _, it = state
-            new_u = sweep(pre_far, u0)
+            new_u = sweep(pre_far, None)
             new_pre = far_pre(new_u)
             return new_u, new_pre, improves(new_pre, new_u), it + 1
 

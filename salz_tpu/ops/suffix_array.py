@@ -38,9 +38,9 @@ def num_levels(cap: int) -> int:
 def packed_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     """Big-endian packed 4-byte windows of text[:n], zero past n.
 
-    Returns (t32a, t32b, t32c, t32d): int32[cap] with t32a[i] = bytes i..i+3,
-    t32b[i] = bytes i+4..i+7, etc. Matches the byte-probe tables the LCP
-    tail compare uses (FORMAT.md §1.7).
+    Returns a list of 8 int32[cap] arrays; the w-th has bytes i+4w .. i+4w+3
+    at index i (the first 32 bytes of every suffix). The first two are the
+    LCP tail-probe tables (FORMAT.md §1.7).
     """
     idx = jnp.arange(cap, dtype=jnp.int32)
     byte = jnp.where(idx < n, text.astype(jnp.int32), 0)
@@ -51,7 +51,7 @@ def packed_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     def _pack(k):
         return (_sh(k) << 24) | (_sh(k + 1) << 16) | (_sh(k + 2) << 8) | _sh(k + 3)
 
-    return _pack(0), _pack(4), _pack(8), _pack(12)
+    return [_pack(4 * w) for w in range(8)]
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -70,15 +70,16 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
       n_levels: int32 — number of levels actually filled (informational).
       t32:  int32[2, cap] — text-order packed bytes i..i+3 / i+4..i+7 (the
             LCP tail-probe tables).
-      p32:  int32[4, cap] — SLOT-order packed prefixes: p32[j][k] = bytes
-            sa[k]+4j .. sa[k]+4j+3 — the first 16 bytes of every suffix in
+      p32:  int32[8, cap] — SLOT-order packed prefixes: p32[j][k] = bytes
+            sa[k]+4j .. sa[k]+4j+3 — the first 32 bytes of every suffix in
             suffix-array order, for gather-free adjacent comparisons.
     """
     L = num_levels(cap)
     idx = jnp.arange(cap, dtype=jnp.int32)
     in_text = idx < n
     byte = jnp.where(in_text, text.astype(jnp.int32), 0)
-    t32a, t32b, t32c, t32d = packed_prefixes(text, n, cap=cap)
+    packs = packed_prefixes(text, n, cap=cap)
+    t32a, t32b = packs[0], packs[1]
 
     # ---- fused initial round: 4-byte ranks from ONE 2-key sort.
     # 9-bit symbols (byte+1 in text, 0 past n) make a shorter suffix sort
@@ -141,13 +142,12 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
         cond, round_body, (rank4, ckpt0, jnp.int32(3), all_distinct(rank4))
     )
     # rank is now a permutation of [0, cap); invert via sort, carrying the
-    # packed 16-byte prefixes into slot order as payloads (sort payloads are
+    # packed 32-byte prefixes into slot order as payloads (sort payloads are
     # far cheaper than the equivalent post-hoc gathers).
-    _, sa, pa, pb, pc, pd = jax.lax.sort(
-        (rank, idx, t32a, t32b, t32c, t32d), num_keys=1
-    )
+    sorted_out = jax.lax.sort((rank, idx, *packs), num_keys=1)
+    sa = sorted_out[1]
     t32 = jnp.stack([t32a, t32b])
-    p32 = jnp.stack([pa, pb, pc, pd])
+    p32 = jnp.stack(sorted_out[2:])
     return sa, ckpt, level, t32, p32
 
 

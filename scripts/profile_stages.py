@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from bench import make_corpus
 from salz_tpu.ops.ansv import ansv_slots_vals_batch
-from salz_tpu.ops.emit import emit_stream, token_starts
+from salz_tpu.ops.emit import emit_stream_batch, token_starts
 from salz_tpu.ops.lcp import adjacent_lcp_batch, candidate_lengths_slot_batch
 
 from salz_tpu.ops.suffix_array import suffix_array_prefixes
@@ -68,7 +68,7 @@ def main():
         "ansv_slots", ansv_slots_vals_batch, vals, ns, cap=CAP
     )
     lcp_adj = timeit(
-        "adjacent_lcp", adjacent_lcp_batch, ckpt, ns, sa, t32, p32, cap=CAP
+        "adjacent_lcp", adjacent_lcp_batch, ckpt, nlv, ns, sa, t32, p32, cap=CAP
     )
     pl_s, nl_s = timeit(
         "rangemin", candidate_lengths_slot_batch, lcp_adj, lslot, rslot, ns,
@@ -91,10 +91,10 @@ def main():
     )
     starts_fn = jax.jit(jax.vmap(lambda l, n: token_starts(l, n, cap=CAP)))
     timeit("token_starts", starts_fn, length, ns)
-    emit_fn = jax.jit(
-        jax.vmap(lambda b, bl, o, l: emit_stream(b, bl, o, l, cap=CAP))
+    timeit(
+        "emit", emit_stream_batch, blocks, jnp.full((B,), CAP, jnp.int32),
+        offs, length, cap=CAP,
     )
-    timeit("emit", emit_fn, blocks, jnp.full((B,), CAP, jnp.int32), offs, length)
 
 
 if __name__ == "__main__":

@@ -118,9 +118,82 @@ def ansv_parity():
     check("pallas ANSV == xla (incl. adversarial)", ok)
 
 
+def parse_parity():
+    """Pallas sweep-kernel DP vs the sequential reference DP, including
+    factor lengths beyond the near window (forces the outer far iteration)."""
+    from salz_tpu.ops.parse import (
+        optimal_parse_chunked_batch,
+        optimal_parse_sequential,
+    )
+
+    rng = np.random.default_rng(17)
+    cap = 1 << 12
+    B = 2
+    n = np.array([cap - 8, cap // 2 + 11], np.int32)
+    pl_ = np.ones((B, cap), np.int32)
+    fac = rng.random((B, cap)) < 0.4
+    pl_[fac] = rng.integers(3, 60, fac.sum())
+    huge = rng.random((B, cap)) < 0.002
+    pl_[huge] = rng.integers(2100, 3900, huge.sum())  # > window -> far path
+    nl_ = np.maximum(pl_ - rng.integers(0, 3, (B, cap)), 1).astype(np.int32)
+    po = rng.integers(1, 1 << 20, (B, cap)).astype(np.int32)
+    no = rng.integers(1, 1 << 20, (B, cap)).astype(np.int32)
+    offs, length, _ = optimal_parse_chunked_batch(
+        jnp.asarray(po), jnp.asarray(pl_), jnp.asarray(no), jnp.asarray(nl_),
+        jnp.asarray(n), cap=cap,
+    )
+    ok = True
+    for b in range(B):
+        o2, l2, _ = optimal_parse_sequential(
+            jnp.asarray(po[b]), jnp.asarray(pl_[b]), jnp.asarray(no[b]),
+            jnp.asarray(nl_[b]), jnp.int32(int(n[b])), cap=cap,
+        )
+        nn = int(n[b])
+        ok &= bool(
+            np.array_equal(np.asarray(offs[b])[1:nn], np.asarray(o2)[1:nn])
+            and np.array_equal(np.asarray(length[b])[1:nn], np.asarray(l2)[1:nn])
+        )
+    check("pallas parse sweep == sequential DP (incl. far edges)", ok)
+
+
+def rangemin_parity():
+    """Pallas in-row range-min + crossing bucket vs the full-table XLA path."""
+    from salz_tpu.ops.lcp import _rangemin_xla_full, candidate_lengths_slot_batch
+
+    rng = np.random.default_rng(23)
+    cap = 1 << 14
+    B = 2
+    n = np.array([cap - 8, cap - 1000], np.int32)
+    lcp = rng.integers(0, 300, (B, cap)).astype(np.int32)
+    idx = np.arange(cap, dtype=np.int32)[None, :]
+    span_l = rng.integers(1, 4000, (B, cap)).astype(np.int32)
+    span_r = rng.integers(1, 4000, (B, cap)).astype(np.int32)
+    lslot = np.where(rng.random((B, cap)) < 0.9, np.maximum(idx - span_l, -1), -1)
+    rslot = np.where(
+        rng.random((B, cap)) < 0.9, np.minimum(idx + span_r, n[:, None] - 1), -1
+    ).astype(np.int32)
+    rslot = np.where(rslot > idx, rslot, -1).astype(np.int32)
+    lslot = lslot.astype(np.int32)
+    got_p, got_n = candidate_lengths_slot_batch(
+        jnp.asarray(lcp), jnp.asarray(lslot), jnp.asarray(rslot), jnp.asarray(n),
+        cap=cap,
+    )
+    rank_iota = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32)[None, :], (B, cap))
+    ref_p, ref_n = _rangemin_xla_full(
+        jnp.asarray(lcp), jnp.asarray(lslot), jnp.asarray(rslot), rank_iota, cap=cap
+    )
+    ok = bool(
+        np.array_equal(np.asarray(got_p), np.asarray(ref_p))
+        and np.array_equal(np.asarray(got_n), np.asarray(ref_n))
+    )
+    check("pallas range-min == xla full-table", ok)
+
+
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}", flush=True)
     conformance()
     starts_parity()
     ansv_parity()
+    parse_parity()
+    rangemin_parity()
     sys.exit(FAIL)
