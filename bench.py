@@ -65,7 +65,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from salz_tpu.parallel.sharding import encode_blocks_batch, pad_blocks
+    from salz_tpu.ops.encoder import encode_blocks_device
+    from salz_tpu.parallel.sharding import pad_blocks
 
     cap = fmt.block_size_for_level(level)
     corpus = make_corpus(mb << 20)
@@ -96,7 +97,7 @@ def main() -> None:
     def run_all():
         outs_lens = []
         for i in range(nbatches):
-            o, ol, sl = encode_blocks_batch(
+            o, ol, sl = encode_blocks_device(
                 jnp.asarray(padded[i]), jnp.asarray(lens[i]), cap=cap
             )
             outs_lens.append((o, ol))

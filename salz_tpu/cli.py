@@ -43,9 +43,35 @@ def _build_parser(execname: str) -> argparse.ArgumentParser:
     p.add_argument("--fast", dest="level", action="store_const", const=1)
     p.add_argument("--best", dest="level", action="store_const", const=9)
     p.add_argument("--engine", choices=["jax", "native", "python"],
-                   default=os.environ.get("SALZ_ENGINE", "jax"))
+                   default=None)
+    p.add_argument("--decode-engine", choices=["jax", "native", "python"],
+                   default=None)
+    p.add_argument("--batch", type=int, default=None)
     p.add_argument("paths", nargs="*")
     return p
+
+
+#: terminal flags handled in ARGV ORDER, like the reference's getopt loop
+#: (salzcli.c:392-469): the first one encountered wins.
+_TERMINAL = {"c": "stdout", "h": "help", "l": "list"}
+_TERMINAL_LONG = {"--stdout": "stdout", "--help": "help", "--list": "list"}
+
+
+def _first_terminal_flag(argv: list[str]) -> str | None:
+    """Scan argv left to right like getopt: long options whole, short option
+    clusters character by character (`-cl` hits c first)."""
+    for tok in argv:
+        if tok == "--" or not tok.startswith("-") or tok == "-":
+            continue
+        if tok.startswith("--"):
+            act = _TERMINAL_LONG.get(tok.split("=", 1)[0])
+            if act:
+                return act
+            continue
+        for ch in tok[1:]:
+            if ch in _TERMINAL:
+                return _TERMINAL[ch]
+    return None
 
 
 _HELP = """\
@@ -66,6 +92,8 @@ salz, a Suffix Array-based Lempel-Ziv data compressor
   --fast             alias of "-1"
   --best             alias of "-9"
   --engine ENGINE    codec backend: jax (TPU), native (C++), python
+  --decode-engine E  decode backend: native (default), jax (device), python
+  --batch N          blocks per device step (jax engine)
 
   Default action is to compress.
   If invoked as "unsalz", default action is to decompress.
@@ -85,7 +113,7 @@ def _fill_outpath(path: str, decompress: bool) -> str:
 
 
 def _process_path(path: str, *, decompress: bool, keep: bool, force: bool,
-                  level: int, engine: str) -> int:
+                  cfg) -> int:
     has_suffix = fmt.SALZ_SUFFIX in path  # substring test (salzcli.c:286)
     if has_suffix and not decompress:
         _log(LOG_ERROR, f'"{path}" path already has ".salz" suffix')
@@ -114,14 +142,25 @@ def _process_path(path: str, *, decompress: bool, keep: bool, force: bool,
     try:
         with open(path, "rb") as inp, open(outpath, "wb") as out:
             if decompress:
+                # Decode path per config: native scalar by default (token
+                # decode is serial per block); "jax" = device decoder.
+                from salz_tpu.config import SalzConfig
+
+                eng = cfg.decode_engine if cfg.engine == "jax" else cfg.engine
                 codec = container.get_codec(
-                    engine if engine != "jax" else "native", 1
+                    SalzConfig(
+                        engine="jax" if eng == "jax" else eng,
+                        decode_engine=eng,
+                        batch=cfg.batch,
+                    )
+                    if eng == "jax"
+                    else eng,
+                    1,
                 )
                 container.decompress_stream(inp, out, codec)
             else:
-                block_size = fmt.block_size_for_level(level)
-                codec = container.get_codec(engine, block_size)
-                container.compress_stream(inp, out, block_size, codec)
+                codec = container.get_codec(cfg)
+                container.compress_stream(inp, out, cfg.block_size, codec)
     except (ValueError, OSError) as e:
         _log(LOG_ERROR, f"Couldn't {'decode' if decompress else 'encode'} "
                         f"segment" if isinstance(e, ValueError) else str(e))
@@ -154,21 +193,24 @@ def main(argv: list[str] | None = None, execname: str | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     execname = execname or os.path.basename(sys.argv[0] or "salz")
 
+    # Terminal flags act in argv order, like the reference's getopt loop:
+    # the FIRST of -c/-h/-l encountered decides (salzcli.c:392-469).
+    term = _first_terminal_flag(argv)
+    if term == "stdout":
+        print("writing to stdout not supported", file=sys.stderr)
+        return ERROR
+    if term == "help":
+        print(_HELP.format(execname=execname), end="")
+        return OK
+    if term == "list":
+        print("listing info not supported", file=sys.stderr)
+        return ERROR
+
     parser = _build_parser(execname)
     try:
         args = parser.parse_args(argv)
     except SystemExit:
         print(f'See "{execname} --help" for more information.', file=sys.stderr)
-        return ERROR
-
-    if args.help:
-        print(_HELP.format(execname=execname), end="")
-        return OK
-    if args.stdout:
-        print("writing to stdout not supported", file=sys.stderr)
-        return ERROR
-    if args.list:
-        print("listing info not supported", file=sys.stderr)
         return ERROR
 
     _log_level = max(LOG_NONE, LOG_INFO - args.quiet)
@@ -184,12 +226,26 @@ def main(argv: list[str] | None = None, execname: str | None = None) -> int:
         print("compressing from stdin not supported", file=sys.stderr)
         return ERROR
 
-    level = args.level if args.level is not None else fmt.DEFAULT_LEVEL
+    from salz_tpu.config import SalzConfig
+
+    cfg = SalzConfig(
+        level=args.level if args.level is not None else fmt.DEFAULT_LEVEL,
+        **{
+            k: v
+            for k, v in (
+                ("engine", args.engine),
+                ("decode_engine", args.decode_engine),
+                ("batch", args.batch),
+            )
+            if v is not None
+        },
+    ).validate()
+
     ret = OK
     for path in args.paths:
         rc = _process_path(
             path, decompress=decompress, keep=args.keep, force=args.force,
-            level=level, engine=args.engine,
+            cfg=cfg,
         )
         ret = max(ret, rc)
     return ret

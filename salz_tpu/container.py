@@ -78,10 +78,53 @@ class Codec:
     decode_block: Callable[[bytes, int], bytes]  # (segment, dst_cap) -> block
     #: optional throughput path: (blocks, dst_cap) -> segments, in order
     encode_blocks: Callable[[list, int], list] | None = None
+    #: optional per-block-status path: (blocks, dst_cap) -> (segs, status)
+    encode_blocks_status: Callable[[list, int], tuple] | None = None
+    #: optional batched decode path: (segments, block_size) -> blocks
+    decode_blocks: Callable[[list, int], list] | None = None
 
 
-def get_codec(engine: str, block_size: int) -> Codec:
-    if engine == "python":
+def _decode_fn(decode_engine: str):
+    """(decode_block, decode_blocks) pair for a decode-path choice. The block
+    size comes from the container header at decode time, so the device
+    decoder is built lazily per block size."""
+    if decode_engine == "python":
+        from salz_tpu.oracle import pycodec
+
+        return (lambda s, cap: pycodec.decode_block(s, dst_cap=cap)), None
+    if decode_engine == "native":
+        from salz_tpu import native
+
+        return native.decode_block, None
+    if decode_engine == "jax":
+        from salz_tpu.ops.decoder import BatchBlockDecoder
+
+        cache: dict[int, BatchBlockDecoder] = {}
+
+        def _get(block_size: int) -> BatchBlockDecoder:
+            if block_size not in cache:
+                cache[block_size] = BatchBlockDecoder(block_size)
+            return cache[block_size]
+
+        return (
+            lambda s, cap: _get(cap)(s),
+            lambda segs, block_size: _get(block_size).decode_many(segs),
+        )
+    raise ValueError(f"unknown decode engine {decode_engine!r}")
+
+
+def get_codec(engine, block_size: int | None = None) -> Codec:
+    """Build a codec from a SalzConfig (preferred) or a legacy engine name."""
+    from salz_tpu.config import SalzConfig
+
+    if isinstance(engine, SalzConfig):
+        cfg = engine.validate()
+        block_size = cfg.block_size if block_size is None else block_size
+    else:
+        cfg = SalzConfig(engine=engine).validate()
+        assert block_size is not None
+
+    if cfg.engine == "python":
         from salz_tpu.oracle import pycodec
 
         return Codec(
@@ -89,23 +132,24 @@ def get_codec(engine: str, block_size: int) -> Codec:
             lambda b, cap: pycodec.encode_block(b, dst_cap=cap),
             lambda s, cap: pycodec.decode_block(s, dst_cap=cap),
         )
-    if engine == "native":
+    if cfg.engine == "native":
         from salz_tpu import native
 
         return Codec("native", native.encode_block, native.decode_block)
-    if engine == "jax":
-        import os
-
-        from salz_tpu import native
+    if cfg.engine == "jax":
         from salz_tpu.ops.encoder import BatchBlockEncoder, BlockEncoder
 
-        enc = BlockEncoder(block_size)
-        batch = int(os.environ.get("SALZ_BATCH", "8"))
-        benc = BatchBlockEncoder(block_size, batch=batch)
-        # Decode stays on the host scalar path (conformance/latency path);
-        # the device decoder is exercised separately (salz_tpu.ops.decoder).
-        return Codec("jax", enc, native.decode_block, benc.encode_many)
-    raise ValueError(f"unknown engine {engine!r}")
+        enc = BlockEncoder(block_size, parse=cfg.parse)
+        benc = BatchBlockEncoder(block_size, batch=cfg.batch, parse=cfg.parse)
+        # Decode path per config; default is the native scalar decoder (the
+        # throughput path — token decoding is serial per block); "jax" picks
+        # the on-device lax.while_loop decoder.
+        dec, dec_many = _decode_fn(cfg.decode_engine)
+        return Codec(
+            "jax", enc, dec, benc.encode_many, benc.encode_many_status,
+            dec_many,
+        )
+    raise ValueError(f"unknown engine {cfg.engine!r}")
 
 
 def compress_stream(
@@ -119,33 +163,59 @@ def compress_stream(
     """
     dst_cap = fmt.encoded_len_max(block_size)
     write_file_header(out, block_size)
-    if codec.encode_blocks is None:
+    if codec.encode_blocks is None and codec.encode_blocks_status is None:
         for block in iter_blocks(inp, block_size):
             write_segment(out, codec.encode_block(block, dst_cap))
         return
+
+    def flush(pending: list[bytes]) -> None:
+        if not pending:
+            return
+        if codec.encode_blocks_status is not None:
+            # Per-block status path: every block gets an individual verdict
+            # (a poisoned block does not prevent its siblings from encoding);
+            # the FILE still fails at the first bad block, matching the
+            # reference's stop-at-first-error loop (salzcli.c:163-179).
+            segs, status = codec.encode_blocks_status(pending, dst_cap)
+            for seg, st in zip(segs, status):
+                if st != 0:
+                    raise ValueError(f"block failed to encode (status {st})")
+                write_segment(out, seg)
+        else:
+            for seg in codec.encode_blocks(pending, dst_cap):
+                write_segment(out, seg)
+
     pending: list[bytes] = []
     for block in iter_blocks(inp, block_size):
         # Blocks the batch path cannot legally take (the reference-parity
         # short/empty trailing block) go through the scalar path so the
         # failure surfaces identically.
         if len(block) < 8:
-            for seg in codec.encode_blocks(pending, dst_cap):
-                write_segment(out, seg)
+            flush(pending)
             pending = []
             write_segment(out, codec.encode_block(block, dst_cap))
             continue
         pending.append(block)
         if len(pending) >= 64:
-            for seg in codec.encode_blocks(pending, dst_cap):
-                write_segment(out, seg)
+            flush(pending)
             pending = []
-    for seg in codec.encode_blocks(pending, dst_cap):
-        write_segment(out, seg)
+    flush(pending)
 
 
 def decompress_stream(inp: BinaryIO, out: BinaryIO, codec: Codec) -> int:
     """Reference-equivalent decompression loop (salzcli.c:187-270)."""
     block_size = read_file_header(inp)
+    if codec.decode_blocks is not None:
+        pending: list[bytes] = []
+        for seg in read_segments(inp, block_size):
+            pending.append(seg)
+            if len(pending) >= 64:
+                for blk in codec.decode_blocks(pending, block_size):
+                    out.write(blk)
+                pending = []
+        for blk in codec.decode_blocks(pending, block_size):
+            out.write(blk)
+        return block_size
     for seg in read_segments(inp, block_size):
         out.write(codec.decode_block(seg, block_size))
     return block_size

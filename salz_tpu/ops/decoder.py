@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from salz_tpu.format import (
     FACTOR_LENGTH_MIN,
@@ -251,3 +252,67 @@ def decode_block_device(segment: jax.Array, seg_len: jax.Array, *, seg_cap: int,
         hdr_bad | jnp.where(is_plain, ~plain_ok, salz_fail), 1, 0
     ).astype(jnp.int32)
     return out, out_len, status
+
+
+@functools.partial(jax.jit, static_argnames=("seg_cap", "out_cap"))
+def decode_blocks_device(
+    segments: jax.Array, seg_lens: jax.Array, *, seg_cap: int, out_cap: int
+):
+    """Batch decode (uint8[B, seg_cap], int32[B]) -> (out, out_len, status).
+
+    vmap over the sequential per-block while_loop: lanes step together until
+    the longest block finishes (the decoder is the conformance path; the
+    throughput path is the native scalar decoder, salz_tpu/native)."""
+    return jax.vmap(
+        lambda s, l: decode_block_device(s, l, seg_cap=seg_cap, out_cap=out_cap)
+    )(segments, seg_lens)
+
+
+class BatchBlockDecoder:
+    """Host-side wrapper: decodes lists of segments in device batches.
+
+    Mirrors BatchBlockEncoder; pads segments to the container's
+    encoded_len_max, runs the vmapped device decoder, trims, and raises
+    SalzDecodeError on any malformed stream (reference salz_decode_safe
+    returns -1, salz.c:1194-1228)."""
+
+    def __init__(self, block_size: int, batch: int = 8):
+        from salz_tpu import format as fmt
+        from salz_tpu.utils import jaxcache
+
+        jaxcache.enable()
+        self.out_cap = block_size
+        self.seg_cap = fmt.encoded_len_max(block_size)
+        self.batch = max(1, batch)
+
+    def decode_many(self, segments: list[bytes]) -> list[bytes]:
+        from salz_tpu.oracle.pycodec import SalzDecodeError
+
+        blocks: list[bytes] = []
+        for lo in range(0, len(segments), self.batch):
+            group = segments[lo : lo + self.batch]
+            B = len(group)
+            padded = np.zeros((self.batch, self.seg_cap), np.uint8)
+            lens = np.zeros(self.batch, np.int32)
+            for i, seg in enumerate(group):
+                if len(seg) > self.seg_cap:
+                    raise SalzDecodeError("encoded segment too large")
+                padded[i, : len(seg)] = np.frombuffer(seg, np.uint8)
+                lens[i] = len(seg)
+            out, out_len, status = decode_blocks_device(
+                jnp.asarray(padded), jnp.asarray(lens),
+                seg_cap=self.seg_cap, out_cap=self.out_cap,
+            )
+            out = np.asarray(out)
+            out_len = np.asarray(out_len)
+            status = np.asarray(status)
+            for i in range(B):
+                if int(status[i]) != 0:
+                    raise SalzDecodeError(
+                        f"malformed stream (block {lo + i})"
+                    )
+                blocks.append(bytes(out[i, : int(out_len[i])]))
+        return blocks
+
+    def __call__(self, segment: bytes, dst_cap: int | None = None) -> bytes:
+        return self.decode_many([segment])[0]

@@ -122,25 +122,39 @@ class BatchBlockEncoder:
 
         jaxcache.enable()
 
-    def encode_many(
+    #: per-block status codes (SURVEY.md §5 failure model)
+    OK = 0
+    ERR_CAPACITY = 1  # emitted stream exceeds caller's dst capacity
+    ERR_TOO_SHORT = 2  # block < 8 bytes (reference salz.c:197 underflow)
+    ERR_TOO_LONG = 3  # block exceeds the encoder's block capacity
+
+    def encode_many_status(
         self, blocks: list[bytes], dst_cap: int | None = None
-    ) -> list[bytes]:
-        for blk in blocks:
+    ) -> tuple[list[bytes | None], list[int]]:
+        """Encode blocks with PER-BLOCK error status: a poisoned block fails
+        alone and its siblings still encode (SURVEY.md §5 failure model; the
+        reference's equivalent is salz_encode_safe's per-call -1 return).
+
+        Returns (segments, status): segments[i] is None iff status[i] != 0.
+        """
+        segs: list[bytes | None] = [None] * len(blocks)
+        status = [self.OK] * len(blocks)
+        good: list[int] = []
+        for i, blk in enumerate(blocks):
             if len(blk) < TAIL_RESERVE:
-                raise ValueError(
-                    f"block too short to encode ({len(blk)} < 8 bytes)"
-                )
-            if len(blk) > self.cap:
-                raise ValueError(f"block exceeds capacity {self.cap}")
-        segs: list[bytes] = []
-        for lo in range(0, len(blocks), self.batch):
-            group = blocks[lo : lo + self.batch]
+                status[i] = self.ERR_TOO_SHORT
+            elif len(blk) > self.cap:
+                status[i] = self.ERR_TOO_LONG
+            else:
+                good.append(i)
+        for lo in range(0, len(good), self.batch):
+            group = good[lo : lo + self.batch]
             B = len(group)
             padded = np.zeros((self.batch, self.cap), np.uint8)
             lens = np.full(self.batch, TAIL_RESERVE, np.int32)
-            for i, blk in enumerate(group):
-                padded[i, : len(blk)] = np.frombuffer(blk, np.uint8)
-                lens[i] = len(blk)
+            for j, i in enumerate(group):
+                padded[j, : len(blocks[i])] = np.frombuffer(blocks[i], np.uint8)
+                lens[j] = len(blocks[i])
             out, out_len, salz_len = encode_blocks_device(
                 jnp.asarray(padded),
                 jnp.asarray(lens),
@@ -150,15 +164,30 @@ class BatchBlockEncoder:
             out = np.asarray(out)
             out_len = np.asarray(out_len)
             salz_len = np.asarray(salz_len)
-            for i in range(B):
-                if dst_cap is not None and int(salz_len[i]) > dst_cap:
+            for j, i in enumerate(group):
+                if dst_cap is not None and int(salz_len[j]) > dst_cap:
                     # Reference parity: emission overflows the caller's buffer
                     # before the PLAIN fallback is evaluated (salz.c:274-275).
-                    raise ValueError(
-                        "encoded stream exceeds destination capacity"
-                    )
-                segs.append(bytes(out[i, : int(out_len[i])]))
-        return segs
+                    status[i] = self.ERR_CAPACITY
+                else:
+                    segs[i] = bytes(out[j, : int(out_len[j])])
+        return segs, status
+
+    def encode_many(
+        self, blocks: list[bytes], dst_cap: int | None = None
+    ) -> list[bytes]:
+        """Encode blocks; raises on the FIRST failed block (wholesale API —
+        prefer encode_many_status for block-granular error handling)."""
+        segs, status = self.encode_many_status(blocks, dst_cap)
+        msgs = {
+            self.ERR_CAPACITY: "encoded stream exceeds destination capacity",
+            self.ERR_TOO_SHORT: "block too short to encode (< 8 bytes)",
+            self.ERR_TOO_LONG: f"block exceeds capacity {self.cap}",
+        }
+        for st in status:
+            if st != self.OK:
+                raise ValueError(msgs[st])
+        return segs  # type: ignore[return-value]
 
 
 class BlockEncoder:

@@ -50,6 +50,9 @@ _SUP = 2048  # positions per grid step
 _C = 128  # sub-chunk width = lane count
 _K = _SUP // _C
 
+#: test hook: force the Pallas sweep path in interpret mode on CPU
+_FORCE_INTERPRET = False
+
 
 def _vnibble_size_vec(v):
     m = jnp.ones(v.shape, jnp.int32)
@@ -259,6 +262,7 @@ def _sweep_tpu(nb, pw, nw, pt, nt, pre_far, *, cap: int, window: int):
         ],
         out_specs=spec(),
         scratch_shapes=[pltpu.VMEM((B, _SUP + window), jnp.int32)],
+        interpret=_FORCE_INTERPRET,
     )(nb, pw, nw, pt, nt, pre_far)
 
 
@@ -297,8 +301,8 @@ def optimal_parse_chunked_batch(
     nsv_tgt = jnp.clip(jnp.where(nsv_ok, idx + nsv_len, cap), 0, cap)
 
     use_pallas = (
-        jax.default_backend() == "tpu" and cap % _SUP == 0 and window % _C == 0
-    )
+        jax.default_backend() == "tpu" or _FORCE_INTERPRET
+    ) and cap % _SUP == 0 and window % _C == 0
 
     if use_pallas:
         WINDOW = min(window, cap)

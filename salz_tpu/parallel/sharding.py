@@ -11,25 +11,12 @@ concatenates in container order.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from salz_tpu.ops.encoder import encode_blocks_device, out_capacity
-
-
-@functools.partial(jax.jit, static_argnames=("cap", "parse"))
-def encode_blocks_batch(blocks, lens, *, cap: int, parse: str = "chunked"):
-    """Batch-native block encoder (see encode_blocks_device).
-
-    blocks: uint8[B, cap]; lens: int32[B] (each >= 8).
-    Returns (outs uint8[B, out_capacity(cap)], out_lens int32[B],
-             salz_lens int32[B]).
-    """
-    return encode_blocks_device(blocks, lens, cap=cap, parse=parse)
 
 
 def make_mesh(devices=None, axis: str = "blocks") -> Mesh:
@@ -48,7 +35,7 @@ def sharded_encode_fn(mesh: Mesh, *, cap: int, parse: str = "chunked"):
     axis = mesh.axis_names[0]
 
     def per_shard(blocks, lens):
-        outs, out_lens, salz_lens = encode_blocks_batch(
+        outs, out_lens, salz_lens = encode_blocks_device(
             blocks, lens, cap=cap, parse=parse
         )
         # int32 is fine for per-jit-call stats (< 2 GiB per shard batch);

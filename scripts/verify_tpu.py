@@ -130,11 +130,15 @@ def parse_parity():
     cap = 1 << 12
     B = 2
     n = np.array([cap - 8, cap // 2 + 11], np.int32)
+    idx = np.arange(cap, dtype=np.int32)[None, :]
     pl_ = np.ones((B, cap), np.int32)
     fac = rng.random((B, cap)) < 0.4
     pl_[fac] = rng.integers(3, 60, fac.sum())
-    huge = rng.random((B, cap)) < 0.002
+    huge = rng.random((B, cap)) < 0.004
     pl_[huge] = rng.integers(2100, 3900, huge.sum())  # > window -> far path
+    # Candidate-length contract: a true LCP never exceeds n - p (the u-form
+    # potential transform relies on edge targets <= n).
+    pl_ = np.maximum(np.minimum(pl_, n[:, None] - idx), 1).astype(np.int32)
     nl_ = np.maximum(pl_ - rng.integers(0, 3, (B, cap)), 1).astype(np.int32)
     po = rng.integers(1, 1 << 20, (B, cap)).astype(np.int32)
     no = rng.integers(1, 1 << 20, (B, cap)).astype(np.int32)

@@ -7,8 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from salz_tpu.oracle import pycodec as oc
+from salz_tpu.ops.encoder import encode_blocks_device
 from salz_tpu.parallel.sharding import (
-    encode_blocks_batch,
     gather_segments,
     make_mesh,
     pad_blocks,
@@ -31,7 +31,7 @@ def _mk_blocks(count, seed=0):
 def test_batch_encode_matches_oracle():
     chunks = _mk_blocks(6, seed=1)
     blocks, lens = pad_blocks(chunks, CAP)
-    outs, out_lens, _ = encode_blocks_batch(
+    outs, out_lens, _ = encode_blocks_device(
         jnp.asarray(blocks), jnp.asarray(lens), cap=CAP
     )
     segs = gather_segments(outs, out_lens)
