@@ -138,11 +138,36 @@ def main() -> None:
             nblk += 1
     log(f"conformance: {nblk} blocks byte-identical + roundtrip OK")
 
+    # ---- decompression throughput (production decode path = native scalar;
+    # the reference times decompression as a first-class metric,
+    # salzcli.c:367-369). Segments from the conformance pass above.
+    segs = []
+    nblk = 0
+    for o, ol in results:
+        o = np.asarray(o)
+        ol = np.asarray(ol)
+        for j in range(o.shape[0]):
+            if nblk >= len(blocks):
+                break
+            segs.append(bytes(o[j][: int(ol[j])]))
+            nblk += 1
+    t0 = time.perf_counter()
+    dec_total = 0
+    for seg in segs:
+        dec_total += len(native.decode_block(seg, cap))
+    decode_dt = time.perf_counter() - t0
+    decode_mbps = dec_total / decode_dt / 1e6
+    log(f"decode (native path): {decode_mbps:.2f} MB/s")
+
     print(json.dumps({
         "metric": "compress_MB_s_per_chip",
         "value": round(device_mbps, 3),
         "unit": "MB/s",
         "vs_baseline": round(device_mbps / native_mbps, 3),
+        "decode_MB_s": round(decode_mbps, 3),
+        "ratio": round(
+            sum(len(b) for b in blocks) / sum(len(s) for s in segs), 3
+        ),
     }))
 
 

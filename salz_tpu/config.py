@@ -25,9 +25,15 @@ class SalzConfig:
     engine: str = field(
         default_factory=lambda: os.environ.get("SALZ_ENGINE", "jax")
     )
-    #: blocks per device step for the jax engine (amortizes dispatch)
-    batch: int = field(
-        default_factory=lambda: int(os.environ.get("SALZ_BATCH", "8"))
+    #: blocks per device step for the jax engine (amortizes dispatch).
+    #: None = auto: 8 lanes up to the 1 MiB default block, halved per level
+    #: above (device state is ~100-190 B per input byte, so 16 MiB level-9
+    #: blocks run 1 lane at a time to fit HBM).
+    batch: int | None = field(
+        default_factory=lambda: (
+            int(os.environ["SALZ_BATCH"]) if "SALZ_BATCH" in os.environ
+            else None
+        )
     )
     #: parse optimizer: "chunked" (TPU-native fixpoint) | "sequential"
     parse: str = "chunked"
@@ -55,6 +61,8 @@ class SalzConfig:
             raise ValueError(f"unknown decode engine {self.decode_engine!r}")
         if self.parse not in ("chunked", "sequential"):
             raise ValueError(f"unknown parse strategy {self.parse!r}")
+        if self.batch is None:
+            return replace(self, batch=max(1, 8 >> max(0, self.level - 5)))
         if self.batch < 1:
             raise ValueError("batch must be >= 1")
         return self

@@ -53,29 +53,41 @@ _LOGC = 7
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def pair_lcp(ckpt: jax.Array, n: jax.Array, i: jax.Array, j: jax.Array, *, cap: int):
+def pair_lcp(
+    ckpt: jax.Array, t32: jax.Array, n: jax.Array, i: jax.Array, j: jax.Array,
+    *, cap: int,
+):
     """LCP of suffix pairs (i[k], j[k]) of text[:n].
 
     Args:
-      ckpt: int32[L, cap] rank checkpoints (suffix_array_with_ranks output).
+      ckpt: int32[ckpt_rows, cap] rank checkpoints, row r = level r+3
+            (suffix_array_with_ranks output).
+      t32: int32[2, cap] packed text windows +0..3 / +4..7
+            (suffix_array_prefixes output).
       i, j: int32[cap] suffix start positions; entries with i<0 or j<0 yield 0.
     Returns:
       int32[cap] match lengths (capped at n - max(i, j) by construction).
     """
-    L = int(ckpt.shape[0])
+    rows = int(ckpt.shape[0])
     valid = (i >= 0) & (j >= 0)
     iv = jnp.clip(i, 0, cap - 1)
     jv = jnp.clip(j, 0, cap - 1)
     l = jnp.zeros(i.shape, jnp.int32)
-    for k in range(L - 1, -1, -1):
-        h = jnp.int32(1 << k)
+    for r in range(rows - 1, -1, -1):
+        h = jnp.int32(1 << (r + 3))
         a = iv + l
         b = jv + l
         fits = (a + h <= n) & (b + h <= n)
-        ra = ckpt[k][jnp.clip(a, 0, cap - 1)]
-        rb = ckpt[k][jnp.clip(b, 0, cap - 1)]
+        ra = ckpt[r][jnp.clip(a, 0, cap - 1)]
+        rb = ckpt[r][jnp.clip(b, 0, cap - 1)]
         l = jnp.where(valid & fits & (ra == rb), l + h, l)
-    return jnp.where(valid, l, 0)
+    # Resolve the sub-8-byte remainder by direct text probes.
+    tail = _tail8(
+        t32.reshape(2, -1), jnp.full((1, 1), n, jnp.int32),
+        jnp.zeros((1, 1), jnp.int32), iv[None, :], jv[None, :], l[None, :],
+        valid[None, :], cap=cap,
+    )[0]
+    return jnp.where(valid, l + tail, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -98,8 +110,10 @@ def _descend_dynamic(ckpt, jmax, nb, vrow, a, b, l0, vmask, *, cap: int):
 
     def body(t, l):
         lev = jmax - 1 - t
+        # Stored checkpoint row r holds level r+3 (levels 0-2 are not
+        # stored; the sub-8 remainder is resolved by _tail8 text probes).
         tab = jax.lax.dynamic_slice(
-            ckpt, (0, lev, 0), (B, 1, ckpt.shape[2])
+            ckpt, (0, lev - 3, 0), (B, 1, ckpt.shape[2])
         ).reshape(-1)
         h = jnp.int32(1) << lev
         ai = a + l

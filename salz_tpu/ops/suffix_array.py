@@ -35,6 +35,15 @@ def num_levels(cap: int) -> int:
     return max(1, (cap - 1).bit_length()) + 1
 
 
+def ckpt_rows(cap: int) -> int:
+    """Rows of the stored checkpoint stack: levels 3..L-1 only (row r =
+    level r+3). Levels 0-2 are never probed — the LCP descent stops at
+    level 3 and finishes with an 8-byte text probe (ops/lcp.py) — so not
+    storing them saves 3*cap*4 bytes per block lane (12 B/input byte),
+    which is what makes level 8-9 blocks fit on one chip (VERDICT.md §2)."""
+    return max(num_levels(cap) - 3, 1)
+
+
 def packed_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     """Big-endian packed 4-byte windows of text[:n], zero past n.
 
@@ -61,10 +70,11 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     Returns:
       sa:   int32[cap] — sa[:n] is the suffix array of text[:n]; the padded
             tail holds the sentinel suffixes in index order.
-      ckpt: int32[L, cap] — ckpt[l][i] is an equality-preserving rank of the
-            substring text[i : i+2^l] (truncated at n). Level 0 is the byte
-            value for i < n; levels 1-2 come from the fused initial sort;
-            levels that were not reached (all ranks already distinct) hold
+      ckpt: int32[ckpt_rows(cap), cap] — ckpt[r][i] is an equality-preserving
+            rank of the substring text[i : i+2^(r+3)] (truncated at n).
+            Levels 0-2 are NOT stored (the LCP descent never probes below
+            level 3; the sub-8-byte remainder is resolved by text probes).
+            Levels that were not reached (all ranks already distinct) hold
             all-distinct values, so equality tests there are vacuously false —
             exactly what the LCP descent needs.
       n_levels: int32 — number of levels actually filled (informational).
@@ -101,11 +111,7 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     rank4_sorted = jnp.cumsum(changed, dtype=jnp.int32)
     _, rank4 = jax.lax.sort((perm, rank4_sorted), num_keys=1)
 
-    rank0 = jnp.where(in_text, text.astype(jnp.int32), 257 + idx)
-    ckpt0 = jnp.broadcast_to(idx, (L, cap))
-    ckpt0 = ckpt0.at[0].set(rank0)
-    ckpt0 = ckpt0.at[1].set(keyA)  # equality-preserving 2-byte rank
-    ckpt0 = ckpt0.at[2].set(rank4)
+    ckpt0 = jnp.broadcast_to(idx, (ckpt_rows(cap), cap))
 
     def all_distinct(rank):
         return jnp.max(rank) == cap - 1
@@ -131,7 +137,7 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
         # TPU): sorting (perm, new_rank_sorted) by perm lands every new rank
         # at its text position.
         _, new_rank = jax.lax.sort((perm, new_rank_sorted), num_keys=1)
-        ckpt = ckpt.at[level].set(new_rank)
+        ckpt = ckpt.at[level - 3].set(new_rank)
         return new_rank, ckpt, level + 1, all_distinct(new_rank)
 
     def cond(state):

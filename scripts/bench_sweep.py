@@ -36,6 +36,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine", default=os.environ.get("SALZ_ENGINE", "jax"))
     ap.add_argument("--levels", default="0-9")
+    ap.add_argument(
+        "--conform", action="store_true",
+        help="also encode with the native scalar oracle and require "
+             "byte-identical container output",
+    )
     ap.add_argument("files", nargs="+")
     args = ap.parse_args()
 
@@ -71,6 +76,17 @@ def main() -> int:
             if not ok:
                 failures += 1
 
+            conform = None
+            if args.conform and args.engine != "native":
+                ref = io.BytesIO()
+                container.compress_stream(
+                    io.BytesIO(data), ref, block_size,
+                    container.get_codec("native", block_size),
+                )
+                conform = ref.getvalue() == payload
+                if not conform:
+                    failures += 1
+
             nblocks = -(-len(data) // block_size)
             agg.add_file(len(data), len(payload), nblocks, t_enc)
             print(json.dumps({
@@ -83,7 +99,12 @@ def main() -> int:
                 "compress_s": round(t_enc, 4),
                 "compress_MB_s": round(len(data) / t_enc / 1e6, 3),
                 "decompress_s": round(t_dec, 4),
+                "decompress_MB_s": round(len(data) / t_dec / 1e6, 3),
                 "roundtrip": "ok" if ok else "MISMATCH",
+                **(
+                    {"conform": "ok" if conform else "MISMATCH"}
+                    if conform is not None else {}
+                ),
             }), flush=True)
 
     out = agg.as_dict()

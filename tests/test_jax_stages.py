@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from salz_tpu.oracle import pycodec as oc
 from salz_tpu.ops.ansv import psv_nsv
 from salz_tpu.ops.lcp import pair_lcp
-from salz_tpu.ops.suffix_array import suffix_array_with_ranks
+from salz_tpu.ops.suffix_array import suffix_array_prefixes, suffix_array_with_ranks
 from conftest import CORPUS_KINDS, make_corpus
 
 CAP = 1024
@@ -44,11 +44,11 @@ def test_psv_nsv_matches_oracle(kind, n):
 def test_candidate_lcps_match_oracle(kind, n):
     data = make_corpus(kind, n, seed=n + 41)
     text = np.frombuffer(data, np.uint8)
-    sa, ckpt, _ = suffix_array_with_ranks(_pad(data), jnp.int32(n), cap=CAP)
+    sa, ckpt, _, t32, _ = suffix_array_prefixes(_pad(data), jnp.int32(n), cap=CAP)
     psv, nsv = psv_nsv(sa, jnp.int32(n), cap=CAP)
     idx = jnp.arange(CAP, dtype=jnp.int32)
-    pl = pair_lcp(ckpt, jnp.int32(n), psv, idx, cap=CAP)
-    nl = pair_lcp(ckpt, jnp.int32(n), nsv, idx, cap=CAP)
+    pl = pair_lcp(ckpt, t32, jnp.int32(n), psv, idx, cap=CAP)
+    nl = pair_lcp(ckpt, t32, jnp.int32(n), nsv, idx, cap=CAP)
     _, ref_pl, _, ref_nl = oc.factorize(text, *oc.psv_nsv(oc.suffix_array(text)))
     assert np.array_equal(np.asarray(pl)[1:n], ref_pl[1:n])
     assert np.array_equal(np.asarray(nl)[1:n], ref_nl[1:n])
@@ -60,12 +60,12 @@ def test_pair_lcp_arbitrary_pairs():
     n = 800
     data = make_corpus("runs", n, seed=5)
     text = np.frombuffer(data, np.uint8)
-    _, ckpt, _ = suffix_array_with_ranks(_pad(data), jnp.int32(n), cap=CAP)
+    _, ckpt, _, t32, _ = suffix_array_prefixes(_pad(data), jnp.int32(n), cap=CAP)
     i = rng.integers(0, n, size=CAP).astype(np.int32)
     j = rng.integers(0, n, size=CAP).astype(np.int32)
     lo, hi = np.minimum(i, j), np.maximum(i, j)
     got = np.asarray(
-        pair_lcp(ckpt, jnp.int32(n), jnp.asarray(lo), jnp.asarray(hi), cap=CAP)
+        pair_lcp(ckpt, t32, jnp.int32(n), jnp.asarray(lo), jnp.asarray(hi), cap=CAP)
     )
     for k in range(0, CAP, 17):
         a, b = int(lo[k]), int(hi[k])
