@@ -71,7 +71,7 @@ def encode_block(block: bytes, dst_cap: int | None = None) -> bytes:
     res = lib.salz_ref_encode(bytes(block), len(block), buf, dst_cap)
     if res < 0:
         raise ValueError(f"native encode failed for block of {len(block)} bytes")
-    return bytes(buf[:res])
+    return ctypes.string_at(buf, res)
 
 
 def decode_block(segment: bytes, dst_cap: int) -> bytes:
@@ -81,4 +81,4 @@ def decode_block(segment: bytes, dst_cap: int) -> bytes:
     res = lib.salz_ref_decode(bytes(segment), len(segment), buf, dst_cap)
     if res < 0:
         raise ValueError("native decode failed")
-    return bytes(buf[:res])
+    return ctypes.string_at(buf, res)

@@ -440,10 +440,36 @@ int64_t salz_ref_decode(const uint8_t* src, int64_t src_len, uint8_t* dst,
       int64_t factor_len = (int64_t)((unary << 3) | low3) + kFactorLengthMin;
       if (factor_offs > dst_pos) return -1;
       if (dst_pos + factor_len > dst_cap) return -1;
-      // Byte-wise overlap-correct copy (the reference's wide copy is an
-      // optimization justified by the 8-byte tail invariant).
-      const uint8_t* s = dst + dst_pos - factor_offs;
-      for (int64_t i = 0; i < factor_len; i++) dst[dst_pos + i] = s[i];
+      // Overlap-correct factor copy with an 8-byte-wide fast path. The
+      // format guarantees factors end >= 8 bytes before block end
+      // (FORMAT.md tail invariant), so the wide loop's <= 7-byte overrun
+      // stays inside dst for well-formed streams; the dst_cap guard keeps
+      // malformed streams on the exact byte-wise path instead.
+      uint8_t* d = dst + dst_pos;
+      const uint8_t* s = d - factor_offs;
+      int64_t len = factor_len;
+      if (dst_pos + factor_len + 8 <= dst_cap) {
+        if (factor_offs >= 8) {
+          for (int64_t i = 0; i < len; i += 8)
+            std::memcpy(d + i, s + i, 8);
+        } else {
+          // Short period: emit one period's worth byte-wise until >= 8
+          // bytes exist behind the cursor, then read from a distance that
+          // is the smallest multiple of the period >= 8 — same bytes by
+          // periodicity, no overlap inside an 8-byte step.
+          int64_t head = len < 8 ? len : 8;
+          for (int64_t i = 0; i < head; i++) d[i] = s[i];
+          if (len > 8) {
+            // Smallest multiple of the period >= 8; always < 8 + period,
+            // so reads stay inside the already-written/source region.
+            int64_t dist = ((8 + factor_offs - 1) / factor_offs) * factor_offs;
+            for (int64_t i = 8; i < len; i += 8)
+              std::memcpy(d + i, d + i - dist, 8);
+          }
+        }
+      } else {
+        for (int64_t i = 0; i < len; i++) d[i] = s[i];
+      }
       dst_pos += factor_len;
     }
   }

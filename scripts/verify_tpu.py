@@ -63,6 +63,43 @@ def conformance():
         check(f"every-block conformance cap={cap} B={B}", not bad)
 
 
+def decoder_roundtrip():
+    """Device decoder (vmapped lax.while_loop) on the real chip: decode the
+    device-encoded segments back and compare, including a PLAIN stream."""
+    from salz_tpu.ops.decoder import decode_blocks_device
+    from salz_tpu import format as fmt
+
+    cap, B = 1 << 15, 4
+    rng = np.random.default_rng(11)
+    corpus = make_corpus((B - 1) * cap)
+    blocks = [corpus[i : i + cap] for i in range(0, len(corpus), cap)]
+    blocks.append(rng.integers(0, 256, cap, dtype=np.uint8).tobytes())  # PLAIN
+    segs = [native.encode_block(blk) for blk in blocks]
+    seg_cap = fmt.encoded_len_max(cap)
+    pad = np.zeros((B, seg_cap), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(segs):
+        pad[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    out, out_len, status = decode_blocks_device(
+        jnp.asarray(pad), jnp.asarray(lens), seg_cap=seg_cap, out_cap=cap
+    )
+    out = np.asarray(out)
+    ok = bool((np.asarray(status) == 0).all()) and all(
+        bytes(out[i, : int(np.asarray(out_len)[i])]) == blocks[i]
+        for i in range(B)
+    )
+    # Malformed stream -> nonzero status, no crash.
+    bad = np.zeros((B, seg_cap), np.uint8)
+    bad[:, 3] = 7  # unknown stream type
+    _, _, st_bad = decode_blocks_device(
+        jnp.asarray(bad), jnp.asarray(np.full(B, 16, np.int32)),
+        seg_cap=seg_cap, out_cap=cap,
+    )
+    ok &= bool((np.asarray(st_bad) != 0).all())
+    check(f"device decoder roundtrip cap={cap} B={B} (+PLAIN, +malformed)", ok)
+
+
 def starts_parity():
     from salz_tpu.ops.emit import token_starts_xla
     from salz_tpu.ops.starts import token_starts_chunked
@@ -196,6 +233,7 @@ def rangemin_parity():
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}", flush=True)
     conformance()
+    decoder_roundtrip()
     starts_parity()
     ansv_parity()
     parse_parity()
