@@ -161,8 +161,16 @@ def compress_stream(
     segments are written in input order either way, so the container bytes
     are identical.
     """
-    dst_cap = fmt.encoded_len_max(block_size)
     write_file_header(out, block_size)
+    _compress_segments(inp, out, block_size, codec)
+
+
+def _compress_segments(
+    inp: BinaryIO, out: BinaryIO, block_size: int, codec: Codec
+) -> None:
+    """The segment loop of compress_stream (no file header) — also the
+    resume path, which starts it mid-file after seeking both streams."""
+    dst_cap = fmt.encoded_len_max(block_size)
     if codec.encode_blocks is None and codec.encode_blocks_status is None:
         for block in iter_blocks(inp, block_size):
             write_segment(out, codec.encode_block(block, dst_cap))
@@ -200,6 +208,75 @@ def compress_stream(
             flush(pending)
             pending = []
     flush(pending)
+
+
+def scan_resume_point(outpath: str, block_size: int) -> tuple[int, int]:
+    """Scan a partial container: (complete_segments, valid_byte_length).
+
+    The container's independent length-prefixed segments are the natural
+    checkpoint granule (SURVEY.md §5: the framework's resume unit; the
+    reference has none). A crash mid-write leaves a truncated final
+    segment; everything before it is valid and keeps its bytes.
+
+    Raises ContainerError if the file doesn't start with a SALZ header for
+    this block size (resuming into a foreign file would corrupt it).
+    """
+    max_len = fmt.encoded_len_max(block_size)
+    with open(outpath, "rb") as f:
+        bs = read_file_header(f)
+        if bs != block_size:
+            raise ContainerError(
+                f"resume block size mismatch (file {bs}, config {block_size})"
+            )
+        nseg = 0
+        valid = 8
+        while True:
+            lenb = f.read(4)
+            if len(lenb) < 4:
+                return nseg, valid
+            (enc_len,) = struct.unpack("<I", lenb)
+            if enc_len > max_len:
+                return nseg, valid  # corrupt tail: drop it
+            seg = f.read(enc_len)
+            if len(seg) < enc_len:
+                return nseg, valid
+            nseg += 1
+            valid += 4 + enc_len
+
+
+def resume_compress_file(
+    inpath: str, outpath: str, block_size: int, codec: Codec
+) -> int:
+    """Resume an interrupted compression: keep the complete segments already
+    in `outpath`, truncate any partial tail, and encode the remaining blocks
+    of `inpath`. Returns the number of segments that were already complete
+    (the resume point). A fresh/absent output file starts from block 0."""
+    import os
+
+    if os.path.exists(outpath) and os.path.getsize(outpath) >= 8:
+        done, valid = scan_resume_point(outpath, block_size)
+    else:
+        done, valid = 0, 0
+    size = os.path.getsize(inpath)
+    if size % block_size != 0 and done == size // block_size + 1:
+        # Already complete (a short final block exists and was encoded).
+        # Exact-multiple sizes never complete: their trailing empty block
+        # fails by reference parity (salzcli.c:148-160), so fall through.
+        with open(outpath, "r+b") as out:
+            out.seek(valid)
+            out.truncate()
+        return done
+    with open(inpath, "rb") as inp, open(
+        outpath, "r+b" if valid else "wb"
+    ) as out:
+        if valid:
+            out.seek(valid)
+            out.truncate()
+            inp.seek(done * block_size)
+        else:
+            write_file_header(out, block_size)
+        _compress_segments(inp, out, block_size, codec)
+        return done
 
 
 def decompress_stream(inp: BinaryIO, out: BinaryIO, codec: Codec) -> int:
