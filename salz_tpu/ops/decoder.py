@@ -292,9 +292,15 @@ class BatchBlockDecoder:
         for lo in range(0, len(segments), self.batch):
             group = segments[lo : lo + self.batch]
             B = len(group)
+            # Unused lanes replay the last real segment, not sit empty: a
+            # zero-length lane makes that lane's loop state garbage from
+            # step 0, which crashes the TPU runtime at big caps (observed
+            # on v5e at 1 MiB; fine at <= 64 KiB). Duplicates cost nothing
+            # — lanes step together to the longest block either way.
             padded = np.zeros((self.batch, self.seg_cap), np.uint8)
             lens = np.zeros(self.batch, np.int32)
-            for i, seg in enumerate(group):
+            for i in range(self.batch):
+                seg = group[min(i, B - 1)]
                 if len(seg) > self.seg_cap:
                     raise SalzDecodeError("encoded segment too large")
                 padded[i, : len(seg)] = np.frombuffer(seg, np.uint8)
