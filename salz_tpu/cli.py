@@ -47,6 +47,7 @@ def _build_parser(execname: str) -> argparse.ArgumentParser:
     p.add_argument("--decode-engine", choices=["jax", "native", "python"],
                    default=None)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
     p.add_argument("paths", nargs="*")
     return p
 
@@ -94,6 +95,8 @@ salz, a Suffix Array-based Lempel-Ziv data compressor
   --engine ENGINE    codec backend: jax (TPU), native (C++), python
   --decode-engine E  decode backend: native (default), jax (device), python
   --batch N          blocks per device step (jax engine)
+  --resume           restart an interrupted compression at the last
+                     complete segment
 
   Default action is to compress.
   If invoked as "unsalz", default action is to decompress.
@@ -113,7 +116,7 @@ def _fill_outpath(path: str, decompress: bool) -> str:
 
 
 def _process_path(path: str, *, decompress: bool, keep: bool, force: bool,
-                  cfg) -> int:
+                  cfg, resume: bool = False) -> int:
     has_suffix = fmt.SALZ_SUFFIX in path  # substring test (salzcli.c:286)
     if has_suffix and not decompress:
         _log(LOG_ERROR, f'"{path}" path already has ".salz" suffix')
@@ -133,6 +136,26 @@ def _process_path(path: str, *, decompress: bool, keep: bool, force: bool,
     insize = st.st_size
 
     outpath = _fill_outpath(path, decompress)
+    if resume and not decompress:
+        # Framework extension: restart an interrupted compression at the
+        # last complete segment (the container checkpoint granule).
+        t0 = time.monotonic()
+        try:
+            codec = container.get_codec(cfg)
+            done = container.resume_compress_file(
+                path, outpath, cfg.block_size, codec
+            )
+        except (ValueError, OSError):
+            _log(LOG_ERROR, "Operation failed")
+            return ERROR
+        t1 = time.monotonic()
+        if not keep:
+            os.unlink(path)
+        outsize = os.stat(outpath).st_size
+        _log(LOG_INFO,
+             f"{path}: compressed {insize} bytes to {outsize} bytes "
+             f"(resumed at segment {done}) in {t1 - t0:.3f} seconds")
+        return OK
     if not force and os.path.exists(outpath):
         _log(LOG_ERROR, f'"{outpath}" path already exists')
         return ERROR
@@ -245,7 +268,7 @@ def main(argv: list[str] | None = None, execname: str | None = None) -> int:
     for path in args.paths:
         rc = _process_path(
             path, decompress=decompress, keep=args.keep, force=args.force,
-            cfg=cfg,
+            cfg=cfg, resume=args.resume,
         )
         ret = max(ret, rc)
     return ret

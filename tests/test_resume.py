@@ -85,6 +85,21 @@ def test_resume_rejects_foreign_block_size(tmp_path, corpus):
         container.resume_compress_file(str(inp), str(outp), BS, _codec())
 
 
+def test_cli_resume_flag(tmp_path, corpus, monkeypatch):
+    from salz_tpu import cli
+
+    monkeypatch.setenv("SALZ_ENGINE", "python")
+    full = _full_container(corpus)
+    inp = tmp_path / "in.bin"
+    outp = tmp_path / "in.bin.salz"
+    inp.write_bytes(corpus)
+    outp.write_bytes(full[: len(full) // 2])  # torn mid-file
+    rc = cli.main(["-0", "-k", "--resume", str(inp)], execname="salz")
+    assert rc == 0
+    assert outp.read_bytes() == full
+    assert inp.exists()  # -k kept the input
+
+
 def test_resume_with_jax_batched_codec(tmp_path, corpus):
     """Resume mid-file through the batched jax engine produces the identical
     container bytes (the batch loop starts cleanly at a block boundary)."""
