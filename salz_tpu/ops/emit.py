@@ -337,21 +337,27 @@ def emit_stream_batch(
         return _emit_core(
             is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap_full
         )
-    tcap_half = cap // 2 + TAIL_RESERVE
     num_text = jnp.sum(is_start.astype(jnp.int32), axis=1)
+    max_text = jnp.max(num_text)
 
-    def compact(_):
-        return _emit_core(
-            is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap_half
+    def core(tcap):
+        return lambda _: _emit_core(
+            is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap
         )
 
-    def full(_):
-        return _emit_core(
-            is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap_full
-        )
-
+    # Token-width bucket ladder: every token-indexed scatter/cumsum costs
+    # linearly in tcap, and compressible data sits well under cap/4 tokens
+    # (text ~ cap/5), so pick the narrowest width that fits the batch.
     return jax.lax.cond(
-        jnp.max(num_text) <= cap // 2, compact, full, 0
+        max_text <= cap // 4,
+        core(cap // 4 + TAIL_RESERVE),
+        lambda _: jax.lax.cond(
+            max_text <= cap // 2,
+            core(cap // 2 + TAIL_RESERVE),
+            core(tcap_full),
+            0,
+        ),
+        0,
     )
 
 
