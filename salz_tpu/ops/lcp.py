@@ -60,9 +60,9 @@ def pair_lcp(
     """LCP of suffix pairs (i[k], j[k]) of text[:n].
 
     Args:
-      ckpt: int32[ckpt_rows, cap] rank checkpoints, row r = level r+3
+      ckpt: int32[ckpt_rows, cap] rank checkpoints, row r = level r+4
             (suffix_array_with_ranks output).
-      t32: int32[2, cap] packed text windows +0..3 / +4..7
+      t32: int32[4, cap] packed text windows +0..3 .. +12..15
             (suffix_array_prefixes output).
       i, j: int32[cap] suffix start positions; entries with i<0 or j<0 yield 0.
     Returns:
@@ -74,16 +74,16 @@ def pair_lcp(
     jv = jnp.clip(j, 0, cap - 1)
     l = jnp.zeros(i.shape, jnp.int32)
     for r in range(rows - 1, -1, -1):
-        h = jnp.int32(1 << (r + 3))
+        h = jnp.int32(1 << (r + 4))
         a = iv + l
         b = jv + l
         fits = (a + h <= n) & (b + h <= n)
         ra = ckpt[r][jnp.clip(a, 0, cap - 1)]
         rb = ckpt[r][jnp.clip(b, 0, cap - 1)]
         l = jnp.where(valid & fits & (ra == rb), l + h, l)
-    # Resolve the sub-8-byte remainder by direct text probes.
-    tail = _tail8(
-        t32.reshape(2, -1), jnp.full((1, 1), n, jnp.int32),
+    # Resolve the sub-16-byte remainder by direct text probes.
+    tail = _tail16(
+        t32.reshape(4, -1), jnp.full((1, 1), n, jnp.int32),
         jnp.zeros((1, 1), jnp.int32), iv[None, :], jv[None, :], l[None, :],
         valid[None, :], cap=cap,
     )[0]
@@ -102,18 +102,18 @@ def _match32(x, y):
 
 def _descend_dynamic(ckpt, jmax, nb, vrow, a, b, l0, vmask, *, cap: int):
     """Exact checkpoint descent with a DYNAMIC top level: for lev from
-    jmax-1 down to 3, add 2^lev when ranks at (a+l, b+l) agree. The trip
+    jmax-1 down to 4, add 2^lev when ranks at (a+l, b+l) agree. The trip
     count adapts to the data (jmax = highest filled level), so blocks with
     short repeats never pay for high-level probes. Resolves any remaining
-    match < 2^jmax down to a remainder < 8 (finish with _tail8)."""
+    match < 2^jmax down to a remainder < 16 (finish with _tail16)."""
     B, m = a.shape
 
     def body(t, l):
         lev = jmax - 1 - t
-        # Stored checkpoint row r holds level r+3 (levels 0-2 are not
-        # stored; the sub-8 remainder is resolved by _tail8 text probes).
+        # Stored checkpoint row r holds level r+4 (levels 0-3 are not
+        # stored; the sub-16 remainder is resolved by _tail16 text probes).
         tab = jax.lax.dynamic_slice(
-            ckpt, (0, lev - 3, 0), (B, 1, ckpt.shape[2])
+            ckpt, (0, lev - 4, 0), (B, 1, ckpt.shape[2])
         ).reshape(-1)
         h = jnp.int32(1) << lev
         ai = a + l
@@ -126,13 +126,13 @@ def _descend_dynamic(ckpt, jmax, nb, vrow, a, b, l0, vmask, *, cap: int):
         g = tab[q]
         return jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
 
-    return jax.lax.fori_loop(0, jnp.maximum(jmax - 3, 0), body, l0)
+    return jax.lax.fori_loop(0, jnp.maximum(jmax - 4, 0), body, l0)
 
 
-def _tail8(t32f, nb, vrow, a, b, l, vmask, *, cap: int):
-    """Exact min(remaining LCP, 8) by direct text probe at offset l.
+def _tail16(t32f, nb, vrow, a, b, l, vmask, *, cap: int):
+    """Exact min(remaining LCP, 16) by direct text probes at offset l.
 
-    t32f: (2, B*cap) flat packed-byte tables (bytes x..x+3 / x+4..x+7)."""
+    t32f: (4, B*cap) flat packed-byte tables (bytes x..x+3 .. x+12..x+15)."""
     m = a.shape[1]
     ai = a + l
     bi = b + l
@@ -140,13 +140,15 @@ def _tail8(t32f, nb, vrow, a, b, l, vmask, *, cap: int):
         [vrow + jnp.clip(ai, 0, cap - 1), vrow + jnp.clip(bi, 0, cap - 1)],
         axis=1,
     )
-    ga = t32f[0][q]
-    gb = t32f[1][q]
-    ma = _match32(ga[:, :m], ga[:, m:])
-    mb = _match32(gb[:, :m], gb[:, m:])
-    match = ma + jnp.where(ma == 4, mb, 0)
+    match = jnp.zeros((a.shape[0], m), jnp.int32)
+    run = jnp.ones((a.shape[0], m), jnp.bool_)
+    for w in range(4):
+        gw = t32f[w][q]
+        mw = _match32(gw[:, :m], gw[:, m:])
+        match = match + jnp.where(run, mw, 0)
+        run = run & (mw == 4)
     limit = nb - jnp.maximum(ai, bi)
-    return jnp.where(vmask, jnp.clip(jnp.minimum(match, limit), 0, 8), 0)
+    return jnp.where(vmask, jnp.clip(jnp.minimum(match, limit), 0, 16), 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -181,7 +183,7 @@ def adjacent_lcp_batch(
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     nb = n[:, None]
     vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
-    t32f = t32.transpose(1, 0, 2).reshape(2, -1)
+    t32f = t32.transpose(1, 0, 2).reshape(4, -1)
     jmax = jnp.max(n_levels) - 1  # top filled level: ranks all-distinct
 
     a_base = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), sa[:, :-1]], axis=1)
@@ -218,7 +220,7 @@ def adjacent_lcp_batch(
     def _resolve(qa, qb, vmask):
         l0 = jnp.where(vmask, jnp.full(qa.shape, 32, jnp.int32), 0)
         l1 = _descend_dynamic(ckpt, jmax, nb, vrow, qa, qb, l0, vmask, cap=cap)
-        return l1 + _tail8(t32f, nb, vrow, qa, qb, l1, vmask, cap=cap)
+        return l1 + _tail16(t32f, nb, vrow, qa, qb, l1, vmask, cap=cap)
 
     def bucket_path(M: int):
         def fn(_):

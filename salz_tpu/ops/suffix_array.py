@@ -36,19 +36,19 @@ def num_levels(cap: int) -> int:
 
 
 def ckpt_rows(cap: int) -> int:
-    """Rows of the stored checkpoint stack: levels 3..L-1 only (row r =
-    level r+3). Levels 0-2 are never probed — the LCP descent stops at
-    level 3 and finishes with an 8-byte text probe (ops/lcp.py) — so not
-    storing them saves 3*cap*4 bytes per block lane (12 B/input byte),
+    """Rows of the stored checkpoint stack: levels 4..L-1 only (row r =
+    level r+4). Levels 0-3 are never probed — the LCP descent stops at
+    level 4 and finishes with a 16-byte text probe (ops/lcp.py) — so not
+    storing them saves 4*cap*4 bytes per block lane (16 B/input byte),
     which is what makes level 8-9 blocks fit on one chip (VERDICT.md §2)."""
-    return max(num_levels(cap) - 3, 1)
+    return max(num_levels(cap) - 4, 1)
 
 
 def packed_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     """Big-endian packed 4-byte windows of text[:n], zero past n.
 
     Returns a list of 8 int32[cap] arrays; the w-th has bytes i+4w .. i+4w+3
-    at index i (the first 32 bytes of every suffix). The first two are the
+    at index i (the first 32 bytes of every suffix). The first four are the
     LCP tail-probe tables (FORMAT.md §1.7).
     """
     idx = jnp.arange(cap, dtype=jnp.int32)
@@ -71,15 +71,15 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
       sa:   int32[cap] — sa[:n] is the suffix array of text[:n]; the padded
             tail holds the sentinel suffixes in index order.
       ckpt: int32[ckpt_rows(cap), cap] — ckpt[r][i] is an equality-preserving
-            rank of the substring text[i : i+2^(r+3)] (truncated at n).
-            Levels 0-2 are NOT stored (the LCP descent never probes below
-            level 3; the sub-8-byte remainder is resolved by text probes).
+            rank of the substring text[i : i+2^(r+4)] (truncated at n).
+            Levels 0-3 are NOT stored (the LCP descent never probes below
+            level 4; the sub-16-byte remainder is resolved by text probes).
             Levels that were not reached (all ranks already distinct) hold
             all-distinct values, so equality tests there are vacuously false —
             exactly what the LCP descent needs.
       n_levels: int32 — number of levels actually filled (informational).
-      t32:  int32[2, cap] — text-order packed bytes i..i+3 / i+4..i+7 (the
-            LCP tail-probe tables).
+      t32:  int32[4, cap] — text-order packed bytes i..i+3 / .. / i+12..i+15
+            (the LCP tail-probe tables).
       p32:  int32[8, cap] — SLOT-order packed prefixes: p32[j][k] = bytes
             sa[k]+4j .. sa[k]+4j+3 — the first 32 bytes of every suffix in
             suffix-array order, for gather-free adjacent comparisons.
@@ -89,9 +89,8 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     in_text = idx < n
     byte = jnp.where(in_text, text.astype(jnp.int32), 0)
     packs = packed_prefixes(text, n, cap=cap)
-    t32a, t32b = packs[0], packs[1]
 
-    # ---- fused initial round: 4-byte ranks from ONE 2-key sort.
+    # ---- fused initial rounds: 8-byte ranks from ONE 4-key sort.
     # 9-bit symbols (byte+1 in text, 0 past n) make a shorter suffix sort
     # strictly before any extension — the truncation rule of the SA.
     def _sym(k):
@@ -101,15 +100,22 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     keyA = (_sym(0) << 9) | _sym(1)
     keyA = jnp.where(in_text, keyA, (1 << 18) + idx)  # sentinels after real
     keyB = jnp.where(in_text, (_sym(2) << 9) | _sym(3), 0)
-    k1, k2, perm = jax.lax.sort((keyA, keyB, idx), num_keys=2)
+    keyC = jnp.where(in_text, (_sym(4) << 9) | _sym(5), 0)
+    keyD = jnp.where(in_text, (_sym(6) << 9) | _sym(7), 0)
+    k1, k2, k3, k4, perm = jax.lax.sort(
+        (keyA, keyB, keyC, keyD, idx), num_keys=4
+    )
     changed = jnp.concatenate(
         [
             jnp.zeros((1,), jnp.int32),
-            ((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])).astype(jnp.int32),
+            (
+                (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+                | (k3[1:] != k3[:-1]) | (k4[1:] != k4[:-1])
+            ).astype(jnp.int32),
         ]
     )
-    rank4_sorted = jnp.cumsum(changed, dtype=jnp.int32)
-    _, rank4 = jax.lax.sort((perm, rank4_sorted), num_keys=1)
+    rank8_sorted = jnp.cumsum(changed, dtype=jnp.int32)
+    _, rank8 = jax.lax.sort((perm, rank8_sorted), num_keys=1)
 
     ckpt0 = jnp.broadcast_to(idx, (ckpt_rows(cap), cap))
 
@@ -137,7 +143,7 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
         # TPU): sorting (perm, new_rank_sorted) by perm lands every new rank
         # at its text position.
         _, new_rank = jax.lax.sort((perm, new_rank_sorted), num_keys=1)
-        ckpt = ckpt.at[level - 3].set(new_rank)
+        ckpt = ckpt.at[level - 4].set(new_rank)
         return new_rank, ckpt, level + 1, all_distinct(new_rank)
 
     def cond(state):
@@ -145,14 +151,14 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
         return (~done) & (level < L)
 
     rank, ckpt, level, _ = jax.lax.while_loop(
-        cond, round_body, (rank4, ckpt0, jnp.int32(3), all_distinct(rank4))
+        cond, round_body, (rank8, ckpt0, jnp.int32(4), all_distinct(rank8))
     )
     # rank is now a permutation of [0, cap); invert via sort, carrying the
     # packed 32-byte prefixes into slot order as payloads (sort payloads are
     # far cheaper than the equivalent post-hoc gathers).
     sorted_out = jax.lax.sort((rank, idx, *packs), num_keys=1)
     sa = sorted_out[1]
-    t32 = jnp.stack([t32a, t32b])
+    t32 = jnp.stack(packs[:4])
     p32 = jnp.stack(sorted_out[2:])
     return sa, ckpt, level, t32, p32
 
