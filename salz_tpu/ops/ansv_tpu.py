@@ -1,21 +1,24 @@
-"""TPU Pallas path for ANSV: in-row resolution + compacted global descent.
+"""TPU Pallas path for ANSV: wide in-row resolution + compacted global descent.
 
 The XLA path (salz_tpu/ops/ansv.py) pays ~log(n) full-size random gathers in
 its exact-slot descent. On TPU the only fast random-access primitive is the
-Mosaic lane gather (within rows of 128), so this path splits the problem:
+Mosaic lane gather (within 128 lanes), so this path splits the problem:
 
   1. A Pallas kernel resolves every query whose nearest smaller value lies
-     WITHIN its own 128-slot row: row-local sparse tables from lane rolls,
-     binary descent with lane gathers, and the answer VALUE read off the
-     level-0 table. For a random permutation the expected number of
-     row-crossing queries is ~n*H(128)/128 ~ n/24 per side.
+     WITHIN its own 512-slot row: row-local sparse tables from lane rolls, a
+     binary descent whose gathers are 4x4 tile-selected 128-lane gathers, and
+     the answer VALUE read off the level-0 table. Rows are 512 wide (vs the
+     naive 128) because in-VMEM vector work is ~50x cheaper than the HBM
+     gathers of phase 2: for a random permutation the expected number of
+     row-crossing queries drops from ~n*H(128)/128 ~ 4.2%/side to
+     ~n*H(512)/512 ~ 1.3%/side, shrinking phase 2 by ~3x.
 
-  2. Row-crossing queries are compacted (one per-block sort) into a static
-     bucket of cap/8 and run through the classic full descent on 8x smaller
-     arrays. If any block's bucket overflows (adversarial inputs), a
-     batch-level lax.cond falls back to the full-size descent — exactness
-     always. (The cond is batch-level on purpose: under vmap a cond becomes
-     a select and BOTH branches execute.)
+  2. Row-crossing queries are compacted (one per-block sort per side) into a
+     static bucket and run through the classic full descent. The bucket width
+     climbs a ladder (cap/64 -> cap/16 -> full) picked by a batch-level
+     lax.cond on the actual counts, so the descent's gather volume tracks the
+     data instead of the worst case. (Batch-level conds on purpose: under
+     vmap a cond becomes a select and BOTH branches execute.)
 
 Batch-native throughout: (B, cap) arrays and flat 1-D gathers with per-block
 base offsets (vmapped gathers are an order of magnitude slower on TPU).
@@ -35,70 +38,110 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INF = 2**31 - 1  # plain int: jnp scalars become captured consts in kernels
-_C = 128
-_LOGC = 7
+_W = 512  # in-row resolution width (slots per row)
+_LOGW = 9
+_T = 128  # Mosaic lane-gather tile width
+_NT = _W // _T
 
-
-def _shift_left(a, h, fill):
-    """out[j] = a[j+h] along lanes (row-local), fill past the end."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
-    rolled = pltpu.roll(a, shift=_C - h, axis=1)
-    return jnp.where(lane < _C - h, rolled, fill)
-
-
-def _shift_right(a, h, fill):
-    """out[j] = a[j-h] along lanes (row-local), fill before the start."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
-    rolled = pltpu.roll(a, shift=h, axis=1)
-    return jnp.where(lane >= h, rolled, fill)
+#: test hook: run the Pallas kernel in interpret mode on CPU
+_FORCE_INTERPRET = False
 
 
 def _inrow_kernel(vals_ref, lslot_ref, lval_ref, rslot_ref, rval_ref, *, R):
-    """R = rows per block; the slot base wraps at block boundaries."""
-    br = vals_ref.shape[0]
+    """In-row ANSV over 512-slot rows laid out as 4 consecutive 128-lane
+    tiles (Mosaic's native shape — 512-wide vectors crash its layout pass).
+    Cross-tile shifts are sublane rolls + lane rolls; wide gathers probe the
+    7 possible tile offsets with rolled take_along_axis. R = 512-rows per
+    block; the slot base wraps at block boundaries."""
+    br = vals_ref.shape[0]  # 128-lane rows per step; multiple of _NT
     r0 = pl.program_id(0) * br
-    x = vals_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 1)
-    grow = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 0) + r0
-    base = (grow % R) * _C
+    x = vals_ref[:]  # (br, _T)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, _T), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (br, _T), 0)
+    sub = (row + r0) % _NT  # tile index within the 512-row
+    pos = sub * _T + lane  # position within the 512-row [0, _W)
+    bigrow = (row + r0) // _NT
+    base = (bigrow % R) * _W
+
+    def rollrows(a, d):
+        """out[r] = a[r + d] with window wrap-around; valid uses stay inside
+        one 4-row group (br is a multiple of _NT), so wrapped values are
+        always masked by the callers."""
+        if d % br == 0:
+            return a
+        return pltpu.roll(a, shift=(-d) % br, axis=0)
+
+    def shift_left(a, h, fill):
+        """out[pos] = a[pos + h] within the 512-row, fill past the end."""
+        q, rl = h // _T, h % _T
+        if rl == 0:
+            sel = rollrows(a, q)
+        else:
+            t0 = pltpu.roll(rollrows(a, q), shift=_T - rl, axis=1)
+            t1 = pltpu.roll(rollrows(a, q + 1), shift=_T - rl, axis=1)
+            sel = jnp.where(lane < _T - rl, t0, t1)
+        return jnp.where(pos < _W - h, sel, fill)
+
+    def shift_right(a, h, fill):
+        """out[pos] = a[pos - h] within the 512-row, fill before the start."""
+        q, rl = h // _T, h % _T
+        if rl == 0:
+            sel = rollrows(a, -q)
+        else:
+            t0 = pltpu.roll(rollrows(a, -q), shift=rl, axis=1)
+            t1 = pltpu.roll(rollrows(a, -q - 1), shift=rl, axis=1)
+            sel = jnp.where(lane >= rl, t0, t1)
+        return jnp.where(pos >= h, sel, fill)
+
+    def gather512(tab, j):
+        """out = tab value at 512-row position j (j (br, _T) in [0, _W))."""
+        st = j >> 7
+        jl = j & (_T - 1)
+        d = st - sub  # tile offset, in (-_NT, _NT)
+        g = jnp.zeros((br, _T), jnp.int32)
+        for dd in range(-(_NT - 1), _NT):
+            cand = jnp.take_along_axis(rollrows(tab, dd), jl, axis=1)
+            g = jnp.where(d == dd, cand, g)
+        return g
 
     # Row-local sparse tables: tabs[l][j] = min(x[j : j+2^l]) within the row.
     tabs = [x]
     t = x
-    for l in range(1, _LOGC + 1):
-        t = jnp.minimum(t, _shift_left(t, 1 << (l - 1), _INF))
+    for l in range(1, _LOGW + 1):
+        t = jnp.minimum(t, shift_left(t, 1 << (l - 1), _INF))
         tabs.append(t)
 
     # Row-local prefix-exclusive and suffix-after minima (log-scans).
     pm = x
     sm = x
-    for h in (1, 2, 4, 8, 16, 32, 64):
-        pm = jnp.minimum(pm, _shift_right(pm, h, _INF))
-        sm = jnp.minimum(sm, _shift_left(sm, h, _INF))
-    pmin_excl = _shift_right(pm, 1, _INF)
-    smin_after = _shift_left(sm, 1, _INF)
+    for l in range(_LOGW):
+        h = 1 << l
+        pm = jnp.minimum(pm, shift_right(pm, h, _INF))
+        sm = jnp.minimum(sm, shift_left(sm, h, _INF))
+    pmin_excl = shift_right(pm, 1, _INF)
+    smin_after = shift_left(sm, 1, _INF)
 
     found_l = pmin_excl < x
     found_r = smin_after < x
 
-    # Binary descent, both sides, all lane gathers.
-    pos_l = lane
-    pos_r = lane + 1
-    for l in range(_LOGC - 1, -1, -1):
+    # Binary descent, both sides.
+    pos_l = pos
+    pos_r = pos + 1
+    for l in range(_LOGW - 1, -1, -1):
         h = 1 << l
         tab = tabs[l]
         cand = pos_l - h
-        wmin = jnp.take_along_axis(tab, jnp.clip(cand, 0, _C - 1), axis=1)
+        wmin = gather512(tab, jnp.clip(cand, 0, _W - 1))
         pos_l = jnp.where((cand >= 0) & (wmin >= x), cand, pos_l)
-        wmin_r = jnp.take_along_axis(tab, jnp.clip(pos_r, 0, _C - 1), axis=1)
-        pos_r = jnp.where((pos_r + h <= _C) & (wmin_r >= x), pos_r + h, pos_r)
+        wmin_r = gather512(tab, jnp.clip(pos_r, 0, _W - 1))
+        pos_r = jnp.where((pos_r + h <= _W) & (wmin_r >= x), pos_r + h, pos_r)
 
-    ans_l = jnp.clip(pos_l - 1, 0, _C - 1)
-    ans_r = jnp.clip(pos_r, 0, _C - 1)
+    ans_l = jnp.clip(pos_l - 1, 0, _W - 1)
+    ans_r = jnp.clip(pos_r, 0, _W - 1)
     lslot_ref[:] = jnp.where(found_l, base + ans_l, -1)
-    lval_ref[:] = jnp.where(found_l, jnp.take_along_axis(x, ans_l, axis=1), -1)
+    lval_ref[:] = jnp.where(found_l, gather512(x, ans_l), -1)
     rslot_ref[:] = jnp.where(found_r, base + ans_r, -1)
-    rval_ref[:] = jnp.where(found_r, jnp.take_along_axis(x, ans_r, axis=1), -1)
+    rval_ref[:] = jnp.where(found_r, gather512(x, ans_r), -1)
 
 
 def _full_tables_batch(vals, cap: int):
@@ -178,15 +221,16 @@ def _descend_batch(tabstack, jmax, vals, q, side_left, cap: int):
 def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
     """(lslot, lval, rslot, rval) per SA slot, (B, cap) each; -1 = absent."""
     B = vals.shape[0]
-    R = cap // _C
-    rows = B * R
-    # R is a power of two (cap % 1024 == 0 gate); pick the largest block
-    # height <= 512 that divides the total row count.
-    br = R
-    while br < 512 and rows % (2 * br) == 0:
+    R = cap // _W
+    rows = B * cap // _T  # 128-lane rows
+    # Pick the largest step height <= 256 that divides the row count and
+    # keeps whole 4-row groups together (cap % 1024 == 0 gate => rows % 4
+    # == 0... rows % _NT == 0 holds since cap >= 1024).
+    br = _NT
+    while br < 256 and rows % (2 * br) == 0:
         br *= 2
-    br = min(br, 512)
-    assert rows % br == 0
+    br = min(br, 256)
+    assert rows % br == 0 and br % _NT == 0
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
     kern = functools.partial(_inrow_kernel, R=R)
@@ -194,16 +238,17 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
         kern,
         grid=(rows // br,),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, _C), jnp.int32) for _ in range(4)
+            jax.ShapeDtypeStruct((rows, _T), jnp.int32) for _ in range(4)
         ),
         in_specs=[
-            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((br, _T), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=tuple(
-            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((br, _T), lambda i: (i, 0), memory_space=pltpu.VMEM)
             for _ in range(4)
         ),
-    )(vals.reshape(rows, _C))
+        interpret=_FORCE_INTERPRET,
+    )(vals.reshape(rows, _T))
     lslot = lslot.reshape(B, cap)
     lval = lval.reshape(B, cap)
     rslot = rslot.reshape(B, cap)
@@ -232,10 +277,7 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
     lslot = jnp.where(real & ~need_l, lslot, -1)
     rslot = jnp.where(real & ~need_r, rslot, -1)
 
-    # Compact row-crossing queries into two half-buckets (left-side queries
-    # then right-side queries) so ONE descent with a per-entry side flag
-    # covers everything.
-    M = max(cap // 16, 1024)  # per side
+    # Compact row-crossing queries (one sort per side, shared by every rung).
     count_l = jnp.sum(need_l.astype(jnp.int32), axis=1)  # (B,)
     count_r = jnp.sum(need_r.astype(jnp.int32), axis=1)
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (vals - vals)
@@ -262,28 +304,33 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
             .reshape(B, cap)
         )
 
-    def bucket_path(_):
-        tabs, L = _full_tables_batch(vals, cap)
-        jmax = _max_resolve_level(tabs, L, vals, need_l, need_r, cap)
-        stack = jnp.stack(tabs, axis=1)  # (B, L+1, cap)
-        qk = jnp.clip(
-            jnp.concatenate([qpos_l[:, :M], qpos_r[:, :M]], axis=1),
-            0,
-            cap - 1,
-        )
-        mid = jnp.arange(M, dtype=jnp.int32)[None, :]
-        valid_l = mid < count_l[:, None]
-        valid_r = mid < count_r[:, None]
-        side = jnp.concatenate(
-            [jnp.ones((B, M), jnp.bool_), jnp.zeros((B, M), jnp.bool_)],
-            axis=1,
-        )
-        s, v = _descend_batch(stack, jmax, vals, qk, side, cap)
-        ls = scat(lslot, valid_l, qk[:, :M], s[:, :M])
-        lv = scat(lval, valid_l, qk[:, :M], v[:, :M])
-        rs = scat(rslot, valid_r, qk[:, M:], s[:, M:])
-        rv = scat(rval, valid_r, qk[:, M:], v[:, M:])
-        return ls, lv, rs, rv
+    def make_bucket_path(M: int):
+        """Descent over a compacted bucket of M queries per side."""
+
+        def path(_):
+            tabs, L = _full_tables_batch(vals, cap)
+            jmax = _max_resolve_level(tabs, L, vals, need_l, need_r, cap)
+            stack = jnp.stack(tabs, axis=1)  # (B, L+1, cap)
+            qk = jnp.clip(
+                jnp.concatenate([qpos_l[:, :M], qpos_r[:, :M]], axis=1),
+                0,
+                cap - 1,
+            )
+            mid = jnp.arange(M, dtype=jnp.int32)[None, :]
+            valid_l = mid < count_l[:, None]
+            valid_r = mid < count_r[:, None]
+            side = jnp.concatenate(
+                [jnp.ones((B, M), jnp.bool_), jnp.zeros((B, M), jnp.bool_)],
+                axis=1,
+            )
+            s, v = _descend_batch(stack, jmax, vals, qk, side, cap)
+            ls = scat(lslot, valid_l, qk[:, :M], s[:, :M])
+            lv = scat(lval, valid_l, qk[:, :M], v[:, :M])
+            rs = scat(rslot, valid_r, qk[:, M:], s[:, M:])
+            rv = scat(rval, valid_r, qk[:, M:], v[:, M:])
+            return ls, lv, rs, rv
+
+        return path
 
     def full_path(_):
         tabs, L = _full_tables_batch(vals, cap)
@@ -302,5 +349,17 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
         rv = jnp.where(need_r, vr, rval)
         return ls, lv, rs, rv
 
-    fits = (jnp.max(count_l) <= M) & (jnp.max(count_r) <= M)
-    return jax.lax.cond(fits, bucket_path, full_path, 0)
+    # Bucket ladder: random-permutation crossing rate is ~1.3%/side at
+    # _W = 512 (~cap/77), so cap/64 covers typical blocks with margin; cap/16
+    # absorbs skewed ones; adversarial inputs fall through to the full path.
+    maxc = jnp.maximum(jnp.max(count_l), jnp.max(count_r))
+    M1 = max(cap // 64, 512)
+    M2 = max(cap // 16, 1024)
+    return jax.lax.cond(
+        maxc <= M1,
+        make_bucket_path(M1),
+        lambda _: jax.lax.cond(
+            maxc <= M2, make_bucket_path(M2), full_path, 0
+        ),
+        0,
+    )
