@@ -37,11 +37,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from salz_tpu.ops.rowops import LOGW as _LOGW
+from salz_tpu.ops.rowops import NT as _NT
+from salz_tpu.ops.rowops import T as _T
+from salz_tpu.ops.rowops import W as _W
+from salz_tpu.ops.rowops import Row512, pick_br
+
 _INF = 2**31 - 1  # plain int: jnp scalars become captured consts in kernels
-_W = 512  # in-row resolution width (slots per row)
-_LOGW = 9
-_T = 128  # Mosaic lane-gather tile width
-_NT = _W // _T
 
 #: test hook: run the Pallas kernel in interpret mode on CPU
 _FORCE_INTERPRET = False
@@ -56,53 +58,12 @@ def _inrow_kernel(vals_ref, lslot_ref, lval_ref, rslot_ref, rval_ref, *, R):
     br = vals_ref.shape[0]  # 128-lane rows per step; multiple of _NT
     r0 = pl.program_id(0) * br
     x = vals_ref[:]  # (br, _T)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (br, _T), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (br, _T), 0)
-    sub = (row + r0) % _NT  # tile index within the 512-row
-    pos = sub * _T + lane  # position within the 512-row [0, _W)
-    bigrow = (row + r0) // _NT
-    base = (bigrow % R) * _W
-
-    def rollrows(a, d):
-        """out[r] = a[r + d] with window wrap-around; valid uses stay inside
-        one 4-row group (br is a multiple of _NT), so wrapped values are
-        always masked by the callers."""
-        if d % br == 0:
-            return a
-        return pltpu.roll(a, shift=(-d) % br, axis=0)
-
-    def shift_left(a, h, fill):
-        """out[pos] = a[pos + h] within the 512-row, fill past the end."""
-        q, rl = h // _T, h % _T
-        if rl == 0:
-            sel = rollrows(a, q)
-        else:
-            t0 = pltpu.roll(rollrows(a, q), shift=_T - rl, axis=1)
-            t1 = pltpu.roll(rollrows(a, q + 1), shift=_T - rl, axis=1)
-            sel = jnp.where(lane < _T - rl, t0, t1)
-        return jnp.where(pos < _W - h, sel, fill)
-
-    def shift_right(a, h, fill):
-        """out[pos] = a[pos - h] within the 512-row, fill before the start."""
-        q, rl = h // _T, h % _T
-        if rl == 0:
-            sel = rollrows(a, -q)
-        else:
-            t0 = pltpu.roll(rollrows(a, -q), shift=rl, axis=1)
-            t1 = pltpu.roll(rollrows(a, -q - 1), shift=rl, axis=1)
-            sel = jnp.where(lane >= rl, t0, t1)
-        return jnp.where(pos >= h, sel, fill)
-
-    def gather512(tab, j):
-        """out = tab value at 512-row position j (j (br, _T) in [0, _W))."""
-        st = j >> 7
-        jl = j & (_T - 1)
-        d = st - sub  # tile offset, in (-_NT, _NT)
-        g = jnp.zeros((br, _T), jnp.int32)
-        for dd in range(-(_NT - 1), _NT):
-            cand = jnp.take_along_axis(rollrows(tab, dd), jl, axis=1)
-            g = jnp.where(d == dd, cand, g)
-        return g
+    ctx = Row512(br, r0)
+    pos = ctx.pos
+    base = (ctx.bigrow % R) * _W
+    shift_left, shift_right, gather512 = (
+        ctx.shift_left, ctx.shift_right, ctx.gather
+    )
 
     # Row-local sparse tables: tabs[l][j] = min(x[j : j+2^l]) within the row.
     tabs = [x]
@@ -145,11 +106,13 @@ def _inrow_kernel(vals_ref, lslot_ref, lval_ref, rslot_ref, rval_ref, *, R):
 
 
 def _full_tables_batch(vals, cap: int):
+    """Levels 0..L-1 (the descent's static top level is L-1: 2^L - 1 skip
+    capacity >= cap - 1 covers any in-block distance)."""
     L = max(1, (cap - 1).bit_length())
     B = vals.shape[0]
     tables = [vals]
     t = vals
-    for l in range(1, L + 1):
+    for l in range(1, L):
         h = 1 << (l - 1)
         shifted = jnp.concatenate(
             [t[:, h:], jnp.full((B, h), _INF, jnp.int32)], axis=1
@@ -159,60 +122,27 @@ def _full_tables_batch(vals, cap: int):
     return tables, L  # per-level (B, cap) arrays
 
 
-def _max_resolve_level(tables, L, vals, need_l, need_r, cap: int):
-    """Smallest descent start level covering every masked query: the max over
-    queries of the first level whose adjacent 2^l window holds a smaller
-    value. Pure shifted slices — no gathers; XLA fuses the level loop."""
-    B = vals.shape[0]
-    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    x = vals
-    jmax = jnp.int32(0)
-    unresL = need_l
-    unresR = need_r
-    for l in range(L + 1):
-        h = 1 << l
-        tl = tables[l]
-        if h < cap:
-            wl = jnp.concatenate(
-                [jnp.full((B, h), _INF, jnp.int32), tl[:, : cap - h]], axis=1
-            )
-        else:
-            wl = jnp.full((B, cap), _INF, jnp.int32)
-        wr = jnp.concatenate(
-            [tl[:, 1:], jnp.full((B, 1), _INF, jnp.int32)], axis=1
-        )
-        hitL = unresL & (idx - h >= 0) & (wl < x)
-        hitR = unresR & (idx + 1 + h <= cap) & (wr < x)
-        any_hit = jnp.any(hitL | hitR)
-        jmax = jnp.where(any_hit, jnp.int32(l), jmax)
-        unresL = unresL & ~hitL
-        unresR = unresR & ~hitR
-    return jmax
-
-
-def _descend_batch(tabstack, jmax, vals, q, side_left, cap: int):
-    """Binary descent for queries q (B, m) with a DYNAMIC start level jmax
-    (the max resolve level — existence presumed; callers mask absent). Each
-    level reads its (B, cap) slice out of the stacked table, staying under
-    TPU's ~128MB gather-throughput cliff."""
+def _descend_batch(tables, L, vals, q, side_left, cap: int):
+    """Binary descent for queries q (B, m) over the per-level tables
+    (existence presumed; callers mask absent answers). The level loop is
+    STATICALLY unrolled from the top so each level indexes its own (B, cap)
+    table directly — no stacked-table materialization, no dynamic slices,
+    and no max-resolve prepass; a handful of extra masked gather levels is
+    cheaper than all three."""
     B, m = q.shape
     vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
     x = vals.reshape(-1)[vrow + jnp.clip(q, 0, cap - 1)]
-    pos0 = jnp.where(side_left, q, q + 1)
+    pos = jnp.where(side_left, q, q + 1)
 
-    def body(t, pos):
-        l = jmax - t
-        tab = jax.lax.dynamic_slice(
-            tabstack, (0, l, 0), (B, 1, cap)
-        ).reshape(-1)
+    for l in range(L - 1, -1, -1):
         h = jnp.int32(1) << l
+        tab = tables[l].reshape(-1)
         cand = jnp.where(side_left, pos - h, pos)
         ok = jnp.where(side_left, cand >= 0, pos + h <= cap)
         wmin = tab[vrow + jnp.clip(cand, 0, cap - 1)]
         step = ok & (wmin >= x)
-        return jnp.where(step, jnp.where(side_left, cand, pos + h), pos)
+        pos = jnp.where(step, jnp.where(side_left, cand, pos + h), pos)
 
-    pos = jax.lax.fori_loop(0, jmax + 1, body, pos0)
     slot = jnp.clip(jnp.where(side_left, pos - 1, pos), 0, cap - 1)
     return slot, vals.reshape(-1)[vrow + slot]
 
@@ -226,11 +156,7 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
     # Pick the largest step height <= 256 that divides the row count and
     # keeps whole 4-row groups together (cap % 1024 == 0 gate => rows % 4
     # == 0... rows % _NT == 0 holds since cap >= 1024).
-    br = _NT
-    while br < 256 and rows % (2 * br) == 0:
-        br *= 2
-    br = min(br, 256)
-    assert rows % br == 0 and br % _NT == 0
+    br = pick_br(rows)
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
     kern = functools.partial(_inrow_kernel, R=R)
@@ -277,20 +203,26 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
     lslot = jnp.where(real & ~need_l, lslot, -1)
     rslot = jnp.where(real & ~need_r, rslot, -1)
 
-    # Compact row-crossing queries (one sort per side, shared by every rung).
+    # Compact row-crossing queries (one single-operand sort per side, shared
+    # by every rung): key = flag*2^26 | slot keeps the needed slots first in
+    # slot order, and a 1-operand sort is ~40% cheaper than key+payload.
+    # (cap <= 2^24 always: the format's 24-bit length field.)
     count_l = jnp.sum(need_l.astype(jnp.int32), axis=1)  # (B,)
     count_r = jnp.sum(need_r.astype(jnp.int32), axis=1)
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (vals - vals)
-    _, qpos_l = jax.lax.sort(
-        (jnp.where(need_l, 0, 1).astype(jnp.int32), slot_iota),
+    flagbit = jnp.int32(1 << 26)
+    (fused_l,) = jax.lax.sort(
+        (jnp.where(need_l, slot_iota, slot_iota | flagbit),),
         num_keys=1,
         dimension=1,
     )
-    _, qpos_r = jax.lax.sort(
-        (jnp.where(need_r, 0, 1).astype(jnp.int32), slot_iota),
+    (fused_r,) = jax.lax.sort(
+        (jnp.where(need_r, slot_iota, slot_iota | flagbit),),
         num_keys=1,
         dimension=1,
     )
+    qpos_l = fused_l & (flagbit - 1)
+    qpos_r = fused_r & (flagbit - 1)
 
     frow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
     sentinel = B * cap
@@ -309,8 +241,6 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
 
         def path(_):
             tabs, L = _full_tables_batch(vals, cap)
-            jmax = _max_resolve_level(tabs, L, vals, need_l, need_r, cap)
-            stack = jnp.stack(tabs, axis=1)  # (B, L+1, cap)
             qk = jnp.clip(
                 jnp.concatenate([qpos_l[:, :M], qpos_r[:, :M]], axis=1),
                 0,
@@ -323,7 +253,7 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
                 [jnp.ones((B, M), jnp.bool_), jnp.zeros((B, M), jnp.bool_)],
                 axis=1,
             )
-            s, v = _descend_batch(stack, jmax, vals, qk, side, cap)
+            s, v = _descend_batch(tabs, L, vals, qk, side, cap)
             ls = scat(lslot, valid_l, qk[:, :M], s[:, :M])
             lv = scat(lval, valid_l, qk[:, :M], v[:, :M])
             rs = scat(rslot, valid_r, qk[:, M:], s[:, M:])
@@ -334,14 +264,12 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
 
     def full_path(_):
         tabs, L = _full_tables_batch(vals, cap)
-        jmax = _max_resolve_level(tabs, L, vals, need_l, need_r, cap)
-        stack = jnp.stack(tabs, axis=1)
         full_idx = jnp.broadcast_to(idx, (B, cap)) + (vals - vals)
         sl, vl = _descend_batch(
-            stack, jmax, vals, full_idx, jnp.ones((B, cap), jnp.bool_), cap
+            tabs, L, vals, full_idx, jnp.ones((B, cap), jnp.bool_), cap
         )
         sr, vr = _descend_batch(
-            stack, jmax, vals, full_idx, jnp.zeros((B, cap), jnp.bool_), cap
+            tabs, L, vals, full_idx, jnp.zeros((B, cap), jnp.bool_), cap
         )
         ls = jnp.where(need_l, sl, lslot)
         lv = jnp.where(need_l, vl, lval)

@@ -40,10 +40,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from salz_tpu.ops.rowops import LOGW as _RLOGW
+from salz_tpu.ops.rowops import T as _T
+from salz_tpu.ops.rowops import W as _RW
+from salz_tpu.ops.rowops import Row512, pick_br
+
 _INF = jnp.int32(2**30)
 _INT_INF = 2**30
 _C = 128
 _LOGC = 7
+
+#: test hook: run the range-min Pallas kernel in interpret mode on CPU
+_FORCE_INTERPRET = False
 
 
 # ---------------------------------------------------------------------------
@@ -275,74 +283,76 @@ def _inrow_rangemin_kernel(
     psv_ref, nsv_ref, suf_ref, pre_ref, *, R: int
 ):
     """Answer range-min queries whose range lies within the slot's own
-    128-lane row; emit row suffix/prefix minima for the crossing bucket.
+    512-slot row (4 consecutive 128-lane tiles — see salz_tpu/ops/rowops);
+    emit row suffix/prefix minima for the crossing bucket.
 
-    For slot k (global-in-block s = base+lane): psv range is
+    For slot k (global-in-block s = base+pos): psv range is
     lcp[lslot+1 .. s], nsv range is lcp[s+1 .. rslot]. In-row iff
-    lslot >= base-1 (psv) / rslot <= base+127 (nsv). Out-of-range lanes get
-    INF; the caller selects."""
+    lslot >= base-1 (psv) / rslot <= base+511 (nsv). Out-of-range lanes get
+    INF; the caller selects. R = 512-rows per block."""
     br = lcp_ref.shape[0]
     r0 = pl.program_id(0) * br
     x = lcp_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 1)
-    grow = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 0) + r0
-    base = (grow % R) * _C
+    ctx = Row512(br, r0)
+    pos = ctx.pos
+    base = (ctx.bigrow % R) * _RW
 
     # Row-local sparse tables: tabs[l][j] = min(x[j : j+2^l]).
     tabs = [x]
     t = x
-    for l in range(1, _LOGC + 1):
-        t = jnp.minimum(t, _shift_left(t, 1 << (l - 1), _INT_INF))
+    for l in range(1, _RLOGW + 1):
+        t = jnp.minimum(t, ctx.shift_left(t, 1 << (l - 1), _INT_INF))
         tabs.append(t)
 
     # Row suffix/prefix minima (outputs for the crossing-bucket path).
     sm = x
     pm = x
-    for h in (1, 2, 4, 8, 16, 32, 64):
-        sm = jnp.minimum(sm, _shift_left(sm, h, _INT_INF))
-        pm = jnp.minimum(pm, _shift_right(pm, h, _INT_INF))
+    for l in range(_RLOGW):
+        h = 1 << l
+        sm = jnp.minimum(sm, ctx.shift_left(sm, h, _INT_INF))
+        pm = jnp.minimum(pm, ctx.shift_right(pm, h, _INT_INF))
     suf_ref[:] = sm
     pre_ref[:] = pm
 
-    def level_of(d):  # floor(log2(d)) for d in [1, 128]
+    def level_of(d):  # floor(log2(d)) for d in [1, _RW]
         j = jnp.zeros_like(d)
-        for l in range(1, _LOGC + 1):
+        for l in range(1, _RLOGW + 1):
             j = jnp.where(d >= (1 << l), l, j)
         return j
 
     lsl = lslot_ref[:]
     rsl = rslot_ref[:]
 
-    # ---- psv: lo = lsl+1-base (dynamic), hi = lane (static).
+    # ---- psv: lo = lsl+1-base (dynamic), hi = pos (static).
     in_p = (lsl >= base - 1) & (lsl >= 0)
-    lo_p = jnp.clip(lsl + 1 - base, 0, _C - 1)
-    d_p = jnp.clip(lane - lo_p + 1, 1, _C)
+    lo_p = jnp.clip(lsl + 1 - base, 0, _RW - 1)
+    d_p = jnp.clip(pos - lo_p + 1, 1, _RW)
     j_p = level_of(d_p)
-    res_p = jnp.full((br, _C), _INT_INF, jnp.int32)
-    for l in range(_LOGC + 1):
-        g1 = jnp.take_along_axis(tabs[l], lo_p, axis=1)
-        g2 = _shift_right(tabs[l], (1 << l) - 1, _INT_INF) if l else tabs[l]
+    res_p = jnp.full((br, _T), _INT_INF, jnp.int32)
+    for l in range(_RLOGW + 1):
+        g1 = ctx.gather(tabs[l], lo_p)
+        g2 = ctx.shift_right(tabs[l], (1 << l) - 1, _INT_INF) if l else tabs[l]
         res_p = jnp.where(j_p == l, jnp.minimum(g1, g2), res_p)
     psv_ref[:] = jnp.where(in_p, res_p, _INT_INF)
 
-    # ---- nsv: lo = lane+1 (static), hi = rsl-base (dynamic).
-    in_n = (rsl >= 0) & (rsl - base <= _C - 1)
-    hi_n = jnp.clip(rsl - base, 0, _C - 1)
-    d_n = jnp.clip(hi_n - lane, 1, _C)
+    # ---- nsv: lo = pos+1 (static), hi = rsl-base (dynamic).
+    in_n = (rsl >= 0) & (rsl - base <= _RW - 1)
+    hi_n = jnp.clip(rsl - base, 0, _RW - 1)
+    d_n = jnp.clip(hi_n - pos, 1, _RW)
     j_n = level_of(d_n)
-    res_n = jnp.full((br, _C), _INT_INF, jnp.int32)
-    for l in range(_LOGC + 1):
-        g1 = _shift_left(tabs[l], 1, _INT_INF)
-        g2 = jnp.take_along_axis(tabs[l], jnp.clip(hi_n - (1 << l) + 1, 0, _C - 1), axis=1)
+    res_n = jnp.full((br, _T), _INT_INF, jnp.int32)
+    for l in range(_RLOGW + 1):
+        g1 = ctx.shift_left(tabs[l], 1, _INT_INF)
+        g2 = ctx.gather(tabs[l], jnp.clip(hi_n - (1 << l) + 1, 0, _RW - 1))
         res_n = jnp.where(j_n == l, jnp.minimum(g1, g2), res_n)
     nsv_ref[:] = jnp.where(in_n, res_n, _INT_INF)
 
 
 def _rowmin_tables(lcp_adj, *, cap: int):
-    """Per-row minima sparse table: (B, LR+1, R) with R = cap/128 rows."""
+    """Per-row minima sparse table: (B, LR+1, R) with R = cap/512 rows."""
     B = lcp_adj.shape[0]
-    R = cap // _C
-    rowmin = lcp_adj.reshape(B, R, _C).min(axis=2)
+    R = cap // _RW
+    rowmin = lcp_adj.reshape(B, R, _RW).min(axis=2)
     LR = max(1, (R - 1).bit_length())
     tabs = [rowmin]
     t = rowmin
@@ -357,10 +367,10 @@ def _rowmin_tables(lcp_adj, *, cap: int):
 
 def _crossing_rangemin(lcp_suf, lcp_pre, rowtab, LR, lo, hi, present, *, cap: int):
     """Range-min of lcp_adj over [lo, hi] where lo and hi lie in DIFFERENT
-    128-slot rows: min(suffix-min at lo, whole rows between, prefix-min at
+    512-slot rows: min(suffix-min at lo, whole rows between, prefix-min at
     hi). Shapes: queries (B, m); lcp_suf/pre (B, cap); rowtab (B, LR+1, R)."""
     B, m = lo.shape
-    R = cap // _C
+    R = cap // _RW
     vrow = (jnp.arange(lo.shape[0], dtype=jnp.int32) * cap)[:, None]
     q = jnp.concatenate(
         [vrow + jnp.clip(lo, 0, cap - 1), vrow + jnp.clip(hi, 0, cap - 1)], axis=1
@@ -369,11 +379,11 @@ def _crossing_rangemin(lcp_suf, lcp_pre, rowtab, LR, lo, hi, present, *, cap: in
     # When lo and hi share a row, lo is necessarily the row START (only the
     # nsv lo=k+1 of a row-final slot can do this), so pre[hi] alone covers
     # [lo, hi] exactly; suf[lo] would overshoot past hi and must be dropped.
-    same_row = (lo >> _LOGC) == (hi >> _LOGC)
+    same_row = (lo >> _RLOGW) == (hi >> _RLOGW)
     part_edge = jnp.minimum(jnp.where(same_row, _INF, g[:, :m]), g[:, m:])
 
-    r_lo = (lo >> _LOGC) + 1  # first full row
-    r_hi = (hi >> _LOGC) - 1  # last full row
+    r_lo = (lo >> _RLOGW) + 1  # first full row
+    r_hi = (hi >> _RLOGW) - 1  # last full row
     d = r_hi - r_lo + 1
     have_mid = present & (d >= 1)
     j = jnp.zeros_like(d)
@@ -446,58 +456,62 @@ def candidate_lengths_slot_batch(
     B = lcp_adj.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
-    if not (jax.default_backend() == "tpu" and cap % 1024 == 0):
+    if not (
+        (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+        and cap % 1024 == 0
+    ):
         rank_iota = jnp.broadcast_to(idx, (B, cap)) + (lcp_adj - lcp_adj)
         return _rangemin_xla_full(lcp_adj, lslot, rslot, rank_iota, cap=cap)
 
-    R = cap // _C
-    rows = B * R
-    br = R
-    while br < 512 and rows % (2 * br) == 0:
-        br *= 2
-    br = min(br, 512)
+    R = cap // _RW
+    rows = B * cap // _T
+    br = pick_br(rows)
     kern = functools.partial(_inrow_rangemin_kernel, R=R)
     psv_in, nsv_in, suf, pre = pl.pallas_call(
         kern,
         grid=(rows // br,),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, _C), jnp.int32) for _ in range(4)
+            jax.ShapeDtypeStruct((rows, _T), jnp.int32) for _ in range(4)
         ),
         in_specs=[
-            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((br, _T), lambda i: (i, 0), memory_space=pltpu.VMEM)
             for _ in range(3)
         ],
         out_specs=tuple(
-            pl.BlockSpec((br, _C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((br, _T), lambda i: (i, 0), memory_space=pltpu.VMEM)
             for _ in range(4)
         ),
+        interpret=_FORCE_INTERPRET,
     )(
-        lcp_adj.reshape(rows, _C),
-        lslot.reshape(rows, _C),
-        rslot.reshape(rows, _C),
+        lcp_adj.reshape(rows, _T),
+        lslot.reshape(rows, _T),
+        rslot.reshape(rows, _T),
     )
     psv_in = psv_in.reshape(B, cap)
     nsv_in = nsv_in.reshape(B, cap)
     suf = suf.reshape(B, cap)
     pre = pre.reshape(B, cap)
 
-    rowbase = idx & ~(_C - 1)
+    rowbase = idx & ~(_RW - 1)
     cross_p = (lslot >= 0) & (lslot < rowbase - 1)
-    cross_n = (rslot >= 0) & (rslot > rowbase + _C - 1)
+    cross_n = (rslot >= 0) & (rslot > rowbase + _RW - 1)
 
-    # Compact crossing queries (measured ~n/24 per side) into half-buckets.
-    M = max(cap // 16, 1024)
+    # Compact crossing queries (~1.3%/side at 512-wide rows) with fused-key
+    # sorts (flag in bit 26; cap <= 2^24) carrying one payload each.
     cnt_p = jnp.sum(cross_p.astype(jnp.int32), axis=1)
     cnt_n = jnp.sum(cross_n.astype(jnp.int32), axis=1)
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (lcp_adj - lcp_adj)
-    _, qp, qlo_p = jax.lax.sort(
-        (jnp.where(cross_p, 0, 1).astype(jnp.int32), slot_iota, lslot + 1),
+    flagbit = jnp.int32(1 << 26)
+    fused_p, qlo_p = jax.lax.sort(
+        (jnp.where(cross_p, slot_iota, slot_iota | flagbit), lslot + 1),
         num_keys=1, dimension=1,
     )
-    _, qn, qhi_n = jax.lax.sort(
-        (jnp.where(cross_n, 0, 1).astype(jnp.int32), slot_iota, rslot),
+    fused_n, qhi_n = jax.lax.sort(
+        (jnp.where(cross_n, slot_iota, slot_iota | flagbit), rslot),
         num_keys=1, dimension=1,
     )
+    qp = fused_p & (flagbit - 1)
+    qn = fused_n & (flagbit - 1)
     rowtab, LR = _rowmin_tables(lcp_adj, cap=cap)
     frow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
 
@@ -510,19 +524,22 @@ def candidate_lengths_slot_batch(
             .reshape(B, cap)
         )
 
-    def bucket(_):
-        mid = jnp.arange(M, dtype=jnp.int32)[None, :]
-        vp = mid < cnt_p[:, None]
-        vn = mid < cnt_n[:, None]
-        rp = _crossing_rangemin(
-            suf, pre, rowtab, LR, qlo_p[:, :M], qp[:, :M], vp, cap=cap
-        )
-        rn = _crossing_rangemin(
-            suf, pre, rowtab, LR, qn[:, :M] + 1, qhi_n[:, :M], vn, cap=cap
-        )
-        out_p = scat(psv_in, vp, qp[:, :M], rp)
-        out_n = scat(nsv_in, vn, qn[:, :M], rn)
-        return out_p, out_n
+    def bucket(M: int):
+        def path(_):
+            mid = jnp.arange(M, dtype=jnp.int32)[None, :]
+            vp = mid < cnt_p[:, None]
+            vn = mid < cnt_n[:, None]
+            rp = _crossing_rangemin(
+                suf, pre, rowtab, LR, qlo_p[:, :M], qp[:, :M], vp, cap=cap
+            )
+            rn = _crossing_rangemin(
+                suf, pre, rowtab, LR, qn[:, :M] + 1, qhi_n[:, :M], vn, cap=cap
+            )
+            out_p = scat(psv_in, vp, qp[:, :M], rp)
+            out_n = scat(nsv_in, vn, qn[:, :M], rn)
+            return out_p, out_n
+
+        return path
 
     def full(_):
         rp = _crossing_rangemin(
@@ -535,8 +552,14 @@ def candidate_lengths_slot_batch(
         out_n = jnp.where(cross_n, rn, nsv_in)
         return out_p, out_n
 
+    M1 = max(cap // 64, 512)
+    M2 = max(cap // 16, 1024)
+    maxc = jnp.maximum(jnp.max(cnt_p), jnp.max(cnt_n))
     psv_len, nsv_len = jax.lax.cond(
-        (jnp.max(cnt_p) <= M) & (jnp.max(cnt_n) <= M), bucket, full, 0
+        maxc <= M1,
+        bucket(M1),
+        lambda _: jax.lax.cond(maxc <= M2, bucket(M2), full, 0),
+        0,
     )
     psv_len = jnp.where(lslot >= 0, psv_len, 0)
     nsv_len = jnp.where(rslot >= 0, nsv_len, 0)

@@ -70,52 +70,43 @@ def main():
     print(f"  (left crossing answers: {crossing} = "
           f"{crossing / (B * CAP) * 100:.1f}%)", flush=True)
 
-    # tables + stack alone
+    # tables alone
     @jax.jit
-    def tables_stack(vals):
+    def tables_only(vals):
         tabs, L = at._full_tables_batch(vals, CAP)
-        return jnp.stack(tabs, axis=1)
+        return tabs[-1]
 
-    timeit("full_tables+stack", tables_stack, vals)
+    timeit("full_tables", tables_only, vals)
 
-    # max resolve level alone
-    @jax.jit
-    def mrl(vals):
-        tabs, L = at._full_tables_batch(vals, CAP)
-        need = vals < 2**30
-        return at._max_resolve_level(tabs, L, vals, need, need, CAP)
-
-    timeit("tables+max_resolve", mrl, vals)
-
-    # descent alone at bucket width (M per side)
-    M = max(CAP // 16, 1024)
+    # descent alone at the small-rung width (M per side)
+    M = max(CAP // 64, 512)
 
     @jax.jit
     def descent(vals):
         tabs, L = at._full_tables_batch(vals, CAP)
-        stack = jnp.stack(tabs, axis=1)
         q = jnp.broadcast_to(
             jnp.arange(2 * M, dtype=jnp.int32)[None, :] * 7 % CAP, (B, 2 * M)
         )
         side = jnp.concatenate(
             [jnp.ones((B, M), jnp.bool_), jnp.zeros((B, M), jnp.bool_)], axis=1
         )
-        return at._descend_batch(stack, jnp.int32(14), vals, q, side, CAP)
+        return at._descend_batch(tabs, L, vals, q, side, CAP)
 
-    timeit("tables+stack+descent(2M)", descent, vals)
+    timeit(f"tables+descent(2x{M})", descent, vals)
 
-    # compaction sorts alone
+    # compaction sorts alone (fused single-key)
     @jax.jit
     def sorts(vals):
         idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
         need = vals < 2**29
         slot_iota = jnp.broadcast_to(idx, (B, CAP)) + (vals - vals)
-        a = jax.lax.sort(
-            (jnp.where(need, 0, 1).astype(jnp.int32), slot_iota),
+        flagbit = jnp.int32(1 << 26)
+        (a,) = jax.lax.sort(
+            (jnp.where(need, slot_iota, slot_iota | flagbit),),
             num_keys=1, dimension=1,
         )
-        b = jax.lax.sort(
-            (jnp.where(~need, 0, 1).astype(jnp.int32), slot_iota),
+        (b,) = jax.lax.sort(
+            (jnp.where(~need, slot_iota, slot_iota | flagbit),),
             num_keys=1, dimension=1,
         )
         return a, b

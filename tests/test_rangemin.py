@@ -1,14 +1,15 @@
 """Unit tests for the two-level (row-decomposed) range-min used by the TPU
 candidate-length path (salz_tpu/ops/lcp.py): crossing queries against brute
-force, including the lo-at-row-start same-row edge case."""
+force, including the lo-at-row-start same-row edge case. Rows are 512 slots
+(salz_tpu/ops/rowops)."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from salz_tpu.ops.lcp import _crossing_rangemin, _rowmin_tables
 
-CAP = 1024
-_C = 128
+CAP = 4096
+_C = 512
 
 
 def _suf_pre(vals):
@@ -33,7 +34,7 @@ def test_crossing_rangemin_random():
     hi = np.minimum(lo + span, CAP - 1).astype(np.int32)
     # Only ranges whose endpoints lie in different rows are legal inputs,
     # except lo exactly at a row start (the nsv row-final case).
-    cross = ((lo >> 7) != (hi >> 7)) | (lo % _C == 0)
+    cross = ((lo >> 9) != (hi >> 9)) | (lo % _C == 0)
     got = np.asarray(
         _crossing_rangemin(
             jnp.asarray(suf), jnp.asarray(pre), rowtab, LR,
@@ -54,8 +55,8 @@ def test_crossing_rangemin_same_row_start():
     vals = rng.integers(0, 50, size=(1, CAP)).astype(np.int32)
     suf, pre = _suf_pre(vals)
     rowtab, LR = _rowmin_tables(jnp.asarray(vals), cap=CAP)
-    lo = np.array([[128, 256, 512, 512]], np.int32)
-    hi = np.array([[130, 256, 639, 520]], np.int32)
+    lo = np.array([[512, 1024, 2048, 2048]], np.int32)
+    hi = np.array([[515, 1024, 2559, 2060]], np.int32)
     present = np.ones((1, 4), bool)
     got = np.asarray(
         _crossing_rangemin(
