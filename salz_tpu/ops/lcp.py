@@ -465,7 +465,10 @@ def candidate_lengths_slot_batch(
 
     R = cap // _RW
     rows = B * cap // _T
-    br = pick_br(rows)
+    # The level-loop keeps all LOGW+1 sparse-table levels live, so the
+    # scoped-VMEM stack grows ~95 KiB per block row: br=256 needs ~24 MiB
+    # and exceeds the 16 MiB limit on v5e. br=128 fits with headroom.
+    br = pick_br(rows, limit=128)
     kern = functools.partial(_inrow_rangemin_kernel, R=R)
     psv_in, nsv_in, suf, pre = pl.pallas_call(
         kern,
