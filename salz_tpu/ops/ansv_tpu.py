@@ -105,10 +105,13 @@ def _inrow_kernel(vals_ref, lslot_ref, lval_ref, rslot_ref, rval_ref, *, R):
     rval_ref[:] = jnp.where(found_r, gather512(x, ans_r), -1)
 
 
-def _full_tables_batch(vals, cap: int):
+def _full_tables_batch(vals, cap: int, levels: int | None = None):
     """Levels 0..L-1 (the descent's static top level is L-1: 2^L - 1 skip
-    capacity >= cap - 1 covers any in-block distance)."""
+    capacity >= cap - 1 covers any in-block distance). `levels` caps the
+    stack for callers that only descend within a bounded distance."""
     L = max(1, (cap - 1).bit_length())
+    if levels is not None:
+        L = min(L, levels)
     B = vals.shape[0]
     tables = [vals]
     t = vals
@@ -144,6 +147,65 @@ def _descend_batch(tables, L, vals, q, side_left, cap: int):
         pos = jnp.where(step, jnp.where(side_left, cand, pos + h), pos)
 
     slot = jnp.clip(jnp.where(side_left, pos - 1, pos), 0, cap - 1)
+    return slot, vals.reshape(-1)[vrow + slot]
+
+
+def _row_tables(vals, cap: int):
+    """Sparse min tables over 512-slot-row minima: LR levels of (B, R)."""
+    B = vals.shape[0]
+    R = cap // _W
+    rowmin = vals.reshape(B, R, _W).min(axis=2)
+    LR = max(1, (R - 1).bit_length())
+    tabs = [rowmin]
+    t = rowmin
+    for l in range(1, LR):
+        h = 1 << (l - 1)
+        t = jnp.minimum(
+            t,
+            jnp.concatenate(
+                [t[:, h:], jnp.full((B, h), _INF, jnp.int32)], axis=1
+            ),
+        )
+        tabs.append(t)
+    return tabs, LR, R
+
+
+def _descend_two_level(tabs9, rowtabs, LR, vals, q, side_left, cap: int):
+    """Crossing-query descent: row-level NSV over (B, R) row minima (cheap
+    small-operand gathers), then a <=512-distance descent inside the answer
+    row over levels 0..8 only. Callers guarantee the answer exists OUTSIDE
+    the query's own row (the in-row kernel already failed), which is exactly
+    when the nearest qualifying row is a different row. Replaces the 20-level
+    full descent: 9 full-size table builds + 9 big gathers instead of 20+20."""
+    B, m = q.shape
+    R = cap // _W
+    rrow = (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
+    vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
+    x = vals.reshape(-1)[vrow + jnp.clip(q, 0, cap - 1)]
+    rowq = jnp.clip(q, 0, cap - 1) >> _LOGW  # row of width _W = 2^_LOGW
+
+    pos = jnp.where(side_left, rowq, rowq + 1)
+    for l in range(LR - 1, -1, -1):
+        h = jnp.int32(1) << l
+        cand = jnp.where(side_left, pos - h, pos)
+        ok = jnp.where(side_left, cand >= 0, pos + h <= R)
+        wmin = rowtabs[l].reshape(-1)[rrow + jnp.clip(cand, 0, R - 1)]
+        step = ok & (wmin >= x)
+        pos = jnp.where(step, jnp.where(side_left, cand, pos + h), pos)
+    row = jnp.clip(jnp.where(side_left, pos - 1, pos), 0, R - 1)
+
+    lo_bound = row * _W
+    hi_bound = lo_bound + _W
+    p2 = jnp.where(side_left, hi_bound, lo_bound)
+    for l in range(len(tabs9) - 1, -1, -1):
+        h = jnp.int32(1) << l
+        cand = jnp.where(side_left, p2 - h, p2)
+        ok = jnp.where(side_left, cand >= lo_bound, p2 + h <= hi_bound)
+        wmin = tabs9[l].reshape(-1)[vrow + jnp.clip(cand, 0, cap - 1)]
+        step = ok & (wmin >= x)
+        p2 = jnp.where(step, jnp.where(side_left, cand, p2 + h), p2)
+
+    slot = jnp.clip(jnp.where(side_left, p2 - 1, p2), 0, cap - 1)
     return slot, vals.reshape(-1)[vrow + slot]
 
 
@@ -240,7 +302,8 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
         """Descent over a compacted bucket of M queries per side."""
 
         def path(_):
-            tabs, L = _full_tables_batch(vals, cap)
+            tabs9 = _full_tables_batch(vals, cap, levels=_LOGW)[0]
+            rowtabs, LR, _R = _row_tables(vals, cap)
             qk = jnp.clip(
                 jnp.concatenate([qpos_l[:, :M], qpos_r[:, :M]], axis=1),
                 0,
@@ -253,7 +316,7 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
                 [jnp.ones((B, M), jnp.bool_), jnp.zeros((B, M), jnp.bool_)],
                 axis=1,
             )
-            s, v = _descend_batch(tabs, L, vals, qk, side, cap)
+            s, v = _descend_two_level(tabs9, rowtabs, LR, vals, qk, side, cap)
             ls = scat(lslot, valid_l, qk[:, :M], s[:, :M])
             lv = scat(lval, valid_l, qk[:, :M], v[:, :M])
             rs = scat(rslot, valid_r, qk[:, M:], s[:, M:])

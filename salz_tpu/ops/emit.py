@@ -112,18 +112,16 @@ def _emit_core(
     num_text_tokens = jnp.sum(is_start.astype(jnp.int32), axis=1)  # (B,)
     K = num_text_tokens + TAIL_RESERVE  # total tokens per block
 
-    _, pos_s, len_s, offs_s, byte_s = jax.lax.sort(
-        (
-            1 - is_start.astype(jnp.int32),
-            jnp.broadcast_to(idx, (B, cap)) + (length - length),
-            length,
-            offs,
-            blocks,
-        ),
-        num_keys=1,
-        is_stable=True,
-        dimension=1,
+    # Fused key (flag in bit 26; cap <= 2^24 always) makes the stable
+    # compaction a plain single-key sort and yields pos_s from the key
+    # itself — two fewer cap-wide sort operands than flag+iota+payloads.
+    flagbit = jnp.int32(1 << 26)
+    slot_iota = jnp.broadcast_to(idx, (B, cap)) + (length - length)
+    fused = jnp.where(is_start, slot_iota, slot_iota | flagbit)
+    fused_s, len_s, offs_s, byte_s = jax.lax.sort(
+        (fused, length, offs, blocks), num_keys=1, dimension=1
     )
+    pos_s = fused_s & (flagbit - 1)
     pos_s = pos_s[:, : tcap - TAIL_RESERVE]
     len_s = len_s[:, : tcap - TAIL_RESERVE]
     offs_s = offs_s[:, : tcap - TAIL_RESERVE]

@@ -132,14 +132,20 @@ def _shift_left_lane(a, h, fill):
 
 
 def _sweep_kernel(
-    nb_ref, pw_ref, nw_ref, pt_ref, nt_ref, far_ref, out_ref, S, *,
-    cap: int, window: int
+    nb_ref, pw_ref, nw_ref, pt_ref, nt_ref, far_ref, out_ref, choice_ref, S,
+    *, cap: int, window: int
 ):
     """One backward sweep over all positions; see module docstring.
 
     S (VMEM scratch, (B, _SUP + window)) holds u[lo_s : lo_s + _SUP + window)
     for the current super-chunk base lo_s; the grid walks super-chunks from
-    the back, shifting S by _SUP after each step."""
+    the back, shifting S by _SUP after each step.
+
+    choice_ref gets the reference's tie-exact factor selection (0 literal,
+    1 PSV, 2 NSV) computed from the CONVERGED u values while they are still
+    in VMEM — the selection gathers cost ~3x the whole sweep when done as
+    XLA full-size random gathers afterwards. Only exact when far_ref is all
+    INF (no factor longer than `window`); the far path re-selects outside."""
     c = pl.program_id(0)
     nsup = pl.num_programs(0)
     nb = nb_ref[:]  # (B, 1)
@@ -192,11 +198,9 @@ def _sweep_kernel(
         n_near = (dn >= 0) & (dn < window)
         gp = wgather(win, jnp.clip(dp, 0, window - 1))
         gn = wgather(win, jnp.clip(dn, 0, window - 1))
-        pre = jnp.minimum(
-            jnp.where(p_near, pwl + gp, _INT_INF),
-            jnp.where(n_near, nwl + gn, _INT_INF),
-        )
-        pre = jnp.minimum(pre, far[:, sl])
+        pre_p = jnp.where(p_near, pwl + gp, _INT_INF)
+        pre_n = jnp.where(n_near, nwl + gn, _INT_INF)
+        pre = jnp.minimum(jnp.minimum(pre_p, pre_n), far[:, sl])
 
         # In-row edges (strictly below hi; t == hi is a crossing edge above).
         p_in = dp < 0
@@ -240,6 +244,23 @@ def _sweep_kernel(
         ul = jax.lax.while_loop(cond, body, state)[0]
         S[:, sl] = ul
 
+        # In-VMEM factor selection from the converged values (exact when far
+        # is all-INF; the reference's tie order: literal, then PSV with
+        # strict <, then NSV with strict <, salz.c:636,651). All three
+        # candidate costs share the 9*(n-p) potential so the u-form compares
+        # are exact.
+        lit_v = _shift_left_lane(ul, 1, _INT_INF)
+        lit_v = jnp.where(lane == _C - 1, boundary, lit_v)
+        pv = jnp.minimum(
+            pre_p, pw_in + jnp.take_along_axis(ul, plo, axis=1)
+        )
+        nv = jnp.minimum(
+            pre_n, nw_in + jnp.take_along_axis(ul, nlo, axis=1)
+        )
+        ch = jnp.where(pv < lit_v, 1, 0)
+        ch = jnp.where(nv < jnp.minimum(pv, lit_v), 2, ch)
+        choice_ref[:, sl] = jnp.where(act, ch, 0)
+
     out_ref[:] = S[:, :_SUP]
     # Shift the window for the next (earlier) super-chunk.
     tail = S[:, :window]
@@ -255,12 +276,15 @@ def _sweep_tpu(nb, pw, nw, pt, nt, pre_far, *, cap: int, window: int):
     return pl.pallas_call(
         functools.partial(_sweep_kernel, cap=cap, window=window),
         grid=(nsup,),
-        out_shape=jax.ShapeDtypeStruct((B, cap), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, cap), jnp.int32),
+            jax.ShapeDtypeStruct((B, cap), jnp.int32),
+        ),
         in_specs=[
             pl.BlockSpec((B, 1), lambda c: (0, 0), memory_space=pltpu.VMEM),
             spec(), spec(), spec(), spec(), spec(),
         ],
-        out_specs=spec(),
+        out_specs=(spec(), spec()),
         scratch_shapes=[pltpu.VMEM((B, _SUP + window), jnp.int32)],
         interpret=_FORCE_INTERPRET,
     )(nb, pw, nw, pt, nt, pre_far)
@@ -309,13 +333,16 @@ def optimal_parse_chunked_batch(
         nb2 = jnp.reshape(n, (B, 1)).astype(jnp.int32)
 
         def sweep(pre_far, _unused):
-            u_main = _sweep_tpu(
+            u_main, choice = _sweep_tpu(
                 nb2, psv_w, nsv_w, psv_tgt, nsv_tgt, pre_far,
                 cap=cap, window=WINDOW,
             )
-            return jnp.concatenate(
-                [u_main, jnp.zeros((B, 1), jnp.int32)], axis=1
-            )  # u[cap] = 0
+            return (
+                jnp.concatenate(
+                    [u_main, jnp.zeros((B, 1), jnp.int32)], axis=1
+                ),  # u[cap] = 0
+                choice,
+            )
 
         hi_of = ((idx >> 7) + 1) * _C
         brow_u = (jnp.arange(B, dtype=jnp.int32) * (cap + 1))[:, None]
@@ -425,17 +452,77 @@ def optimal_parse_chunked_batch(
             )
 
     pre_far0 = jnp.full((B, cap), _INF, jnp.int32) + (psv_w - psv_w)
-    u = sweep(pre_far0, None)
+    if use_pallas:
+        u, choice = sweep(pre_far0, None)
+    else:
+        u = sweep(pre_far0, None)
+        choice = None
 
-    if WINDOW < cap:
-        # Ultra-far edges (factor length > WINDOW): exact asynchronous value
-        # iteration — recompute far contributions against the latest u and
-        # re-sweep until no far edge improves any position. u decreases
-        # monotonically and every sweep fully relaxes all near edges, so the
-        # loop terminates at the exact DP fixpoint (typically 0 extra sweeps:
-        # it needs a repeat longer than WINDOW to run even once).
-        p_far, n_far = far_mask()
+    active = (idx >= 1) & (idx < nb)
 
+    def cost_of(u):
+        """Exact costs from the potential: cost[p] = u[p] + 9*(n-p)."""
+        idx1 = jnp.arange(cap + 1, dtype=jnp.int32)[None, :]
+        u_main = jax.lax.slice(u, (0, 0), (B, cap + 1))
+        cost = jnp.where(
+            (idx1 >= 1) & (idx1 <= nb), u_main + 9 * (nb - idx1), 0
+        ).astype(jnp.int32)
+        return cost.at[:, 0].set(0)
+
+    def select_gather(u):
+        """Reference-tie-exact selection via cost gathers (far-edge path)."""
+        cost = cost_of(u)
+        crow = (jnp.arange(B, dtype=jnp.int32) * (cap + 1))[:, None]
+        cgat = lambda j: cost.reshape(-1)[crow + j]
+        # cost[p+1] is a SHIFTED SLICE of cost, never a gather.
+        lit_cost = 9 + cost[:, 1:]
+        psv_cost = jnp.where(
+            psv_ok, factor_static_cost(psv_offs, psv_len) + cgat(psv_tgt), _INF
+        )
+        nsv_cost = jnp.where(
+            nsv_ok, factor_static_cost(nsv_offs, nsv_len) + cgat(nsv_tgt), _INF
+        )
+        take_psv = psv_cost < lit_cost
+        best = jnp.where(take_psv, psv_cost, lit_cost)
+        offs = jnp.where(take_psv, psv_offs, 0)
+        length = jnp.where(take_psv, psv_len, 1)
+        take_nsv = nsv_cost < best
+        offs = jnp.where(take_nsv, nsv_offs, offs)
+        length = jnp.where(take_nsv, nsv_len, length)
+        offs = jnp.where(active, offs, 0)
+        length = jnp.where(active, length, 1)
+        return offs, length, cost
+
+    def select_from_choice(u, choicemap):
+        """Selection from the kernel's in-VMEM choice map — no gathers."""
+        cost = cost_of(u)
+        offs = jnp.where(
+            choicemap == 1, psv_offs, jnp.where(choicemap == 2, nsv_offs, 0)
+        )
+        length = jnp.where(
+            choicemap == 1, psv_len, jnp.where(choicemap == 2, nsv_len, 1)
+        )
+        offs = jnp.where(active, offs, 0)
+        length = jnp.where(active, length, 1)
+        return offs, length, cost
+
+    if WINDOW >= cap:
+        if use_pallas:
+            return select_from_choice(u, choice)
+        return select_gather(u)
+
+    # Ultra-far edges (factor length > WINDOW): exact asynchronous value
+    # iteration — recompute far contributions against the latest u and
+    # re-sweep until no far edge improves any position. u decreases
+    # monotonically and every sweep fully relaxes all near edges, so the
+    # loop terminates at the exact DP fixpoint. The whole branch (incl. the
+    # 2x full-size far_pre gathers and the gather selection) sits under ONE
+    # batch-level lax.cond: it needs a repeat longer than WINDOW to run at
+    # all, and the gathers cost ~3x the sweep kernel itself.
+    p_far, n_far = far_mask()
+    any_far = jnp.any(p_far | n_far)
+
+    def far_branch(_):
         def far_pre(u):
             q = jnp.concatenate([brow_u + psv_tgt, brow_u + nsv_tgt], axis=1)
             g = u.reshape(-1)[q]
@@ -443,8 +530,6 @@ def optimal_parse_chunked_batch(
                 jnp.where(p_far, psv_w + g[:, :cap], _INF),
                 jnp.where(n_far, nsv_w + g[:, cap:], _INF),
             )
-
-        any_far = jnp.any(p_far | n_far)
 
         def improves(pre_far, u):
             ucur = jax.lax.slice(u, (0, 0), (B, cap))
@@ -456,46 +541,25 @@ def optimal_parse_chunked_batch(
 
         def outer_body(state):
             u, pre_far, _, it = state
-            new_u = sweep(pre_far, None)
+            if use_pallas:
+                new_u = sweep(pre_far, None)[0]
+            else:
+                new_u = sweep(pre_far, None)
             new_pre = far_pre(new_u)
             return new_u, new_pre, improves(new_pre, new_u), it + 1
 
-        pre1 = jnp.where(any_far, far_pre(u), pre_far0)
-        u, _, _, _ = jax.lax.while_loop(
-            outer_cond,
-            outer_body,
-            (u, pre1, any_far & improves(pre1, u), jnp.int32(0)),
+        pre1 = far_pre(u)
+        u_f, _, _, _ = jax.lax.while_loop(
+            outer_cond, outer_body, (u, pre1, improves(pre1, u), jnp.int32(0))
         )
+        return select_gather(u_f)
 
-    active = (idx >= 1) & (idx < nb)
+    def near_branch(_):
+        if use_pallas:
+            return select_from_choice(u, choice)
+        return select_gather(u)
 
-    # Final selection with exact costs: cost[p] = u[p] + 9*(n-p).
-    idx1 = jnp.arange(cap + 1, dtype=jnp.int32)[None, :]
-    u_main = jax.lax.slice(u, (0, 0), (B, cap + 1))
-    cost = jnp.where(
-        (idx1 >= 1) & (idx1 <= nb), u_main + 9 * (nb - idx1), 0
-    ).astype(jnp.int32)
-    cost = cost.at[:, 0].set(0)
-
-    crow = (jnp.arange(B, dtype=jnp.int32) * (cap + 1))[:, None]
-    cgat = lambda j: cost.reshape(-1)[crow + j]
-    lit_cost = 9 + cgat(jnp.clip(idx + 1, 0, cap) + jnp.zeros((B, 1), jnp.int32))
-    psv_cost = jnp.where(
-        psv_ok, factor_static_cost(psv_offs, psv_len) + cgat(psv_tgt), _INF
-    )
-    nsv_cost = jnp.where(
-        nsv_ok, factor_static_cost(nsv_offs, nsv_len) + cgat(nsv_tgt), _INF
-    )
-    take_psv = psv_cost < lit_cost
-    best = jnp.where(take_psv, psv_cost, lit_cost)
-    offs = jnp.where(take_psv, psv_offs, 0)
-    length = jnp.where(take_psv, psv_len, 1)
-    take_nsv = nsv_cost < best
-    offs = jnp.where(take_nsv, nsv_offs, offs)
-    length = jnp.where(take_nsv, nsv_len, length)
-    offs = jnp.where(active, offs, 0)
-    length = jnp.where(active, length, 1)
-    return offs, length, cost
+    return jax.lax.cond(any_far, far_branch, near_branch, 0)
 
 
 def optimal_parse_chunked(

@@ -70,7 +70,12 @@ def _kernel_a(rows_ref, nxt_ref, jt_ref, e128_ref, e1024_ref):
     e1024_ref[:] = eg
 
 
-def _kernel_b(rows_ref, ent_ref, jt_ref, out_ref, *, cap: int):
+def _kernel_b(rows_ref, ent_ref, jt_ref, out_ref):
+    """Materialize each chunk's chain positions AND convert them to a lane
+    membership mask in-VMEM: the chain positions are strictly increasing in
+    the step count s, so lane i's membership is a 7-level binary search over
+    the sorted row — this kills the cap-sized XLA marking scatter (the
+    single most expensive op of the old formulation)."""
     br = ent_ref.shape[0]
     rows = rows_ref[:]
     base = rows * _C
@@ -84,7 +89,17 @@ def _kernel_b(rows_ref, ent_ref, jt_ref, out_ref, *, cap: int):
         jump = ((s >> k) & 1) == 1
         pos = jnp.where(jump & (pos >= 0) & (pos < _C), g, pos)
     on_path = has & (pos >= 0) & (pos < _C)
-    out_ref[:] = jnp.where(on_path, pos + base, cap)
+    # Sorted row of local chain positions (ascending; _C past the chain end).
+    chain = jnp.where(on_path, pos, _C)
+    # lo = #entries < lane  (binary search; chain has no duplicates).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, _C), 1)
+    lo = jnp.zeros((br, _C), jnp.int32)
+    for k in range(_LOGC - 1, -1, -1):
+        cand = lo + (1 << k)
+        g = jnp.take_along_axis(chain, jnp.clip(cand - 1, 0, _C - 1), axis=1)
+        lo = jnp.where(g < lane, cand, lo)
+    hit = jnp.take_along_axis(chain, jnp.clip(lo, 0, _C - 1), axis=1)
+    out_ref[:] = ((lo < _C) & (hit == lane)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -152,9 +167,10 @@ def token_starts_chunked(length: jax.Array, n: jax.Array, *, cap: int):
         )
         e = jnp.where(ok, e128_flat[jnp.clip(e, 0, cap - 1)], e)
 
-    # ---- materialize every in-chunk path, then one scatter marks the chain
-    pos = pl.pallas_call(
-        functools.partial(_kernel_b, cap=cap),
+    # ---- materialize every in-chunk path; the kernel emits the membership
+    # mask directly (no cap-sized scatter).
+    mask = pl.pallas_call(
+        _kernel_b,
         grid=(R // br,),
         out_shape=jax.ShapeDtypeStruct((R, _C), jnp.int32),
         in_specs=[
@@ -169,9 +185,4 @@ def token_starts_chunked(length: jax.Array, n: jax.Array, *, cap: int):
         ),
     )(rows2d, ent128.reshape(R, 1), jt)
 
-    starts = (
-        jnp.zeros(cap + 1, jnp.int32)
-        .at[jnp.clip(pos.reshape(-1), 0, cap)]
-        .set(1, mode="drop")
-    )
-    return (starts[:cap] > 0) & (idx < n)
+    return (mask.reshape(cap) > 0) & (idx < n)
