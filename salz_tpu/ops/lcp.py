@@ -215,7 +215,8 @@ def adjacent_lcp_batch(
     survivor = valid_k & (l32 >= 32) & (limit > 32)
     count = jnp.sum(survivor.astype(jnp.int32), axis=1)
     max_count = jnp.max(count)
-    M_SMALL = max(cap // 16, 512)  # binaries/plain text: ~0-3% survivors
+    M_TINY = max(cap // 128, 512)  # text/binary: ~0.6% survivors measured
+    M_SMALL = max(cap // 16, 512)  # skewed text: few % survivors
     M_BIG = max(cap // 4, 512)  # source code: ~15-20% survivors
 
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (sa - sa)
@@ -252,10 +253,15 @@ def adjacent_lcp_batch(
         return jnp.where(survivor, l1, lcp_free)
 
     return jax.lax.cond(
-        max_count <= M_SMALL,
-        bucket_path(M_SMALL),
+        max_count <= M_TINY,
+        bucket_path(M_TINY),
         lambda _: jax.lax.cond(
-            max_count <= M_BIG, bucket_path(M_BIG), full_path, 0
+            max_count <= M_SMALL,
+            bucket_path(M_SMALL),
+            lambda _: jax.lax.cond(
+                max_count <= M_BIG, bucket_path(M_BIG), full_path, 0
+            ),
+            0,
         ),
         0,
     )

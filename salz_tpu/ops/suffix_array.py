@@ -90,34 +90,39 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     byte = jnp.where(in_text, text.astype(jnp.int32), 0)
     packs = packed_prefixes(text, n, cap=cap)
 
-    # ---- fused initial rounds: 8-byte ranks from ONE 4-key sort.
-    # 9-bit symbols (byte+1 in text, 0 past n) make a shorter suffix sort
-    # strictly before any extension — the truncation rule of the SA.
+    # ---- fused initial rounds: 16-byte ranks (= level 4, ckpt row 0) from
+    # ONE 6-key sort of 3-symbol-packed keys (27 bits each; symbol 16 alone
+    # in the last key). 9-bit symbols (byte+1 in text, 0 past n) make a
+    # shorter suffix sort strictly before any extension — the truncation
+    # rule of the SA. This replaces the old 8-byte initial PLUS the first
+    # doubling round (a 3-op sort + a 2-op inversion sort) with two extra
+    # key operands in one sort.
     def _sym(k):
+        if k >= cap:  # static shape guard for tiny test caps
+            return jnp.zeros(cap, jnp.int32)
         s = jnp.concatenate([byte[k:], jnp.zeros(k, jnp.int32)]) + 1
         return jnp.where(idx + k < n, s, 0)
 
-    keyA = (_sym(0) << 9) | _sym(1)
-    keyA = jnp.where(in_text, keyA, (1 << 18) + idx)  # sentinels after real
-    keyB = jnp.where(in_text, (_sym(2) << 9) | _sym(3), 0)
-    keyC = jnp.where(in_text, (_sym(4) << 9) | _sym(5), 0)
-    keyD = jnp.where(in_text, (_sym(6) << 9) | _sym(7), 0)
-    k1, k2, k3, k4, perm = jax.lax.sort(
-        (keyA, keyB, keyC, keyD, idx), num_keys=4
+    def _pack3(k):
+        return (_sym(k) << 18) | (_sym(k + 1) << 9) | _sym(k + 2)
+
+    keyA = jnp.where(in_text, _pack3(0), (1 << 27) + idx)  # sentinels last
+    keys_rest = [jnp.where(in_text, _pack3(k), 0) for k in (3, 6, 9, 12)]
+    keyF = jnp.where(in_text, _sym(15), 0)
+    sorted16 = jax.lax.sort(
+        (keyA, *keys_rest, keyF, idx), num_keys=6
     )
-    changed = jnp.concatenate(
-        [
-            jnp.zeros((1,), jnp.int32),
-            (
-                (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
-                | (k3[1:] != k3[:-1]) | (k4[1:] != k4[:-1])
-            ).astype(jnp.int32),
-        ]
-    )
-    rank8_sorted = jnp.cumsum(changed, dtype=jnp.int32)
-    _, rank8 = jax.lax.sort((perm, rank8_sorted), num_keys=1)
+    perm = sorted16[-1]
+    changed = jnp.zeros((1,), jnp.int32)
+    diff = jnp.zeros(cap - 1, jnp.bool_)
+    for kk in sorted16[:-1]:
+        diff = diff | (kk[1:] != kk[:-1])
+    changed = jnp.concatenate([changed, diff.astype(jnp.int32)])
+    rank16_sorted = jnp.cumsum(changed, dtype=jnp.int32)
+    _, rank16 = jax.lax.sort((perm, rank16_sorted), num_keys=1)
 
     ckpt0 = jnp.broadcast_to(idx, (ckpt_rows(cap), cap))
+    ckpt0 = ckpt0.at[0].set(rank16)  # row 0 = level 4 = 16-byte ranks
 
     def all_distinct(rank):
         return jnp.max(rank) == cap - 1
@@ -151,7 +156,7 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
         return (~done) & (level < L)
 
     rank, ckpt, level, _ = jax.lax.while_loop(
-        cond, round_body, (rank8, ckpt0, jnp.int32(4), all_distinct(rank8))
+        cond, round_body, (rank16, ckpt0, jnp.int32(5), all_distinct(rank16))
     )
     # rank is now a permutation of [0, cap); invert via sort, carrying the
     # packed 32-byte prefixes into slot order as payloads (sort payloads are
