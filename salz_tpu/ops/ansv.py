@@ -135,24 +135,36 @@ def _ansv_slots_batch(vals, n, *, cap: int):
     return left_slot, right_slot
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def ansv_slots_vals_batch(vals: jax.Array, n: jax.Array, *, cap: int):
+@functools.partial(jax.jit, static_argnames=("cap", "with_buckets"))
+def ansv_slots_vals_batch(
+    vals: jax.Array, n: jax.Array, *, cap: int, with_buckets: bool = False
+):
     """Nearest-smaller (slot, value) per SA slot, both sides, SLOT order.
 
     Args:
       vals: int32[B, cap]; SA values with padded slots set to INF.
       n: int32[B] dynamic valid lengths.
+      with_buckets: additionally return the TPU path's compacted crossing
+        buckets (qpos_l, count_l, qpos_r, count_r), or None on the XLA path
+        — the range-min stage reuses them to skip its own compaction sorts.
     Returns:
       (lslot, psv_val, rslot, nsv_val): int32[B, cap] each, slot order;
       slots/values are -1 where no smaller value exists on that side.
+      With with_buckets: ((lslot, psv_val, rslot, nsv_val), buckets).
     """
     B = vals.shape[0]
+    buckets = None
     if jax.default_backend() == "tpu" and cap % 1024 == 0:
         from salz_tpu.ops.ansv_tpu import ansv_slots_vals_tpu_batch
 
-        left_slot, lval, right_slot, rval = ansv_slots_vals_tpu_batch(
-            vals, n, cap=cap
-        )
+        if with_buckets:
+            (left_slot, lval, right_slot, rval), buckets = (
+                ansv_slots_vals_tpu_batch(vals, n, cap=cap, with_buckets=True)
+            )
+        else:
+            left_slot, lval, right_slot, rval = ansv_slots_vals_tpu_batch(
+                vals, n, cap=cap
+            )
         psv_val = jnp.where(left_slot >= 0, lval, -1)
         nsv_val = jnp.where(right_slot >= 0, rval, -1)
     else:
@@ -171,6 +183,8 @@ def ansv_slots_vals_batch(vals: jax.Array, n: jax.Array, *, cap: int):
         nsv_val = jnp.where(
             (right_slot >= 0) & (g[:, cap:] != _INF), g[:, cap:], -1
         )
+    if with_buckets:
+        return (left_slot, psv_val, right_slot, nsv_val), buckets
     return left_slot, psv_val, right_slot, nsv_val
 
 

@@ -209,9 +209,17 @@ def _descend_two_level(tabs9, rowtabs, LR, vals, q, side_left, cap: int):
     return slot, vals.reshape(-1)[vrow + slot]
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
-    """(lslot, lval, rslot, rval) per SA slot, (B, cap) each; -1 = absent."""
+@functools.partial(jax.jit, static_argnames=("cap", "with_buckets"))
+def ansv_slots_vals_tpu_batch(
+    vals: jax.Array, n: jax.Array, *, cap: int, with_buckets: bool = False
+):
+    """(lslot, lval, rslot, rval) per SA slot, (B, cap) each; -1 = absent.
+
+    with_buckets additionally returns (qpos_l, count_l, qpos_r, count_r):
+    the compacted row-crossing slot buckets. The range-min stage reuses them
+    as its crossing-query compaction (the crossing range-min set is a subset
+    of these slots, and the boundary cases resolve exactly through its
+    same-row/edge logic), saving two full-width sorts there."""
     B = vals.shape[0]
     R = cap // _W
     rows = B * cap // _T  # 128-lane rows
@@ -346,7 +354,7 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
     maxc = jnp.maximum(jnp.max(count_l), jnp.max(count_r))
     M1 = max(cap // 64, 512)
     M2 = max(cap // 16, 1024)
-    return jax.lax.cond(
+    out = jax.lax.cond(
         maxc <= M1,
         make_bucket_path(M1),
         lambda _: jax.lax.cond(
@@ -354,3 +362,6 @@ def ansv_slots_vals_tpu_batch(vals: jax.Array, n: jax.Array, *, cap: int):
         ),
         0,
     )
+    if with_buckets:
+        return out, (qpos_l, count_l, qpos_r, count_r)
+    return out

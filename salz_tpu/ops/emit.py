@@ -92,14 +92,18 @@ def token_starts(length: jax.Array, n: jax.Array, *, cap: int) -> jax.Array:
 
 
 def _emit_core(
-    is_start, blocks, block_lens, offs, length, *, cap: int, tcap: int
+    is_start, blocks, block_lens, offs, length, *, cap: int, tcap: int,
+    scap: int | None = None,
 ):
-    """Stream assembly for token arrays truncated to width `tcap`.
+    """Stream assembly for token arrays truncated to width `tcap` and slot
+    arrays truncated to `scap` 64-bit slots.
 
     Correctness contract: whenever some block's token count K exceeds
-    tcap - TAIL_RESERVE, that block's `out` bytes may be wrong, but its
-    (out_len, salz_len) accounting and the PLAIN decision may also be wrong —
-    so callers must pick tcap >= max(K) + TAIL_RESERVE (the cond below).
+    tcap - TAIL_RESERVE (or its slot count exceeds scap - 2), that block's
+    `out` bytes may be wrong, and its (out_len, salz_len) accounting and the
+    PLAIN decision may also be wrong — so callers must pick tcap >= max(K) +
+    TAIL_RESERVE and scap >= max(num_slots) + 2 (the ladder conds below use
+    exact precomputed counts).
     """
     B = blocks.shape[0]
     ns = block_lens - TAIL_RESERVE
@@ -195,11 +199,14 @@ def _emit_core(
     byte_ok = tok_valid & (byte_pos < out_cap)
 
     # ---- bit chunks -> uint32 word array (word w holds bits [32w, 32w+32),
-    # MSB-first within the word). Sized by the non-PLAIN slot bound:
+    # MSB-first within the word). Default size = the non-PLAIN slot bound:
     # salz_len = 4 + K + 8*num_slots <= block_len + 4 implies
     # num_slots <= (n + 8 - K)/8 <= cap/8 + 1; any stream that overflows this
     # is provably PLAIN (discarded), so dropped contributions are harmless.
-    nwords = 2 * (cap // 8 + 2)
+    # The ladder passes a smaller exact-count-backed scap for typical data.
+    if scap is None:
+        scap = cap // 8 + 2
+    nwords = 2 * scap
     wrow = (jnp.arange(B, dtype=jnp.int32) * nwords)[:, None]
     words = jnp.zeros(B * nwords, jnp.uint32)
 
@@ -245,7 +252,6 @@ def _emit_core(
     words = words.reshape(B, nwords)
 
     # ---- slot positions: slot j (0-based) holds global bits [64j, 64j+64)
-    scap = nwords // 2
     j = jnp.arange(scap, dtype=jnp.int32)[None, :]
     slot_valid = j < num_slots[:, None]
     # bytes before slot j+1's claim = #{t : byte_bits_t <= 64j}. byte_bits >= 1
@@ -351,21 +357,44 @@ def emit_stream_batch(
     num_text = jnp.sum(is_start.astype(jnp.int32), axis=1)
     max_text = jnp.max(num_text)
 
-    def core(tcap):
+    # Exact bitstream size per block (cheap elementwise + row sum): every
+    # token's bit width is a closed form of (offs, length), and the 8 tail
+    # literals add 8 bits — this sizes the slot arrays exactly BEFORE the
+    # core runs, so the slot rung is backed by real counts, not the cap/8
+    # worst case (measured text: ~1.3% of the bound).
+    is_fac = is_start & (length > 1)
+    mm = _vnibble_size_vec(jnp.where(is_fac, (offs - 1) >> 8, 0))
+    zz = jnp.where(is_fac, (length - 3) >> 3, 0)
+    bits_pos = jnp.where(is_fac, 5 + 4 * mm + zz, is_start.astype(jnp.int32))
+    total_bits = jnp.sum(bits_pos, axis=1) + TAIL_RESERVE
+    max_slots = jnp.max((total_bits + 63) >> 6)
+
+    S_SMALL = cap // 64 + 2
+    S_FULL = cap // 8 + 2
+
+    def core(tcap, scap):
         return lambda _: _emit_core(
-            is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap
+            is_start, blocks, block_lens, offs, length, cap=cap, tcap=tcap,
+            scap=scap,
         )
 
-    # Token-width bucket ladder: every token-indexed scatter/cumsum costs
-    # linearly in tcap, and compressible data sits well under cap/4 tokens
-    # (text ~ cap/5), so pick the narrowest width that fits the batch.
+    # Token-width x slot-count bucket ladder: every token-indexed scatter/
+    # cumsum costs linearly in tcap, and the slot-byte synthesis plus the
+    # payload merge sort cost linearly in scap. Measured loads on text
+    # (scripts/ladder_stats.py, profile_emit.py): tokens ~6.4% of cap,
+    # slots ~13k of the 131k bound, so the narrow rung is the common case.
     return jax.lax.cond(
-        max_text <= cap // 4,
-        core(cap // 4 + TAIL_RESERVE),
+        (max_text <= cap // 16) & (max_slots <= S_SMALL - 2),
+        core(cap // 16 + TAIL_RESERVE, S_SMALL),
         lambda _: jax.lax.cond(
-            max_text <= cap // 2,
-            core(cap // 2 + TAIL_RESERVE),
-            core(tcap_full),
+            max_text <= cap // 4,
+            core(cap // 4 + TAIL_RESERVE, S_FULL),
+            lambda _: jax.lax.cond(
+                max_text <= cap // 2,
+                core(cap // 2 + TAIL_RESERVE, S_FULL),
+                core(tcap_full, S_FULL),
+                0,
+            ),
             0,
         ),
         0,

@@ -62,10 +62,12 @@ def encode_blocks_device(
     # and per-stage gathers on TPU).
     valid = idx < ns[:, None]
     vals = jnp.where(valid, sa, jnp.int32(2**31 - 1))
-    lslot, psv_val, rslot, nsv_val = ansv_slots_vals_batch(vals, ns, cap=cap)
+    (lslot, psv_val, rslot, nsv_val), buckets = ansv_slots_vals_batch(
+        vals, ns, cap=cap, with_buckets=True
+    )
     lcp_adj = adjacent_lcp_batch(ckpt, n_levels, ns, sa, t32, p32, cap=cap)
     psv_len_s, nsv_len_s = candidate_lengths_slot_batch(
-        lcp_adj, lslot, rslot, ns, cap=cap
+        lcp_adj, lslot, rslot, ns, buckets, cap=cap
     )
     dest = jnp.where(valid, sa, cap)
     _, psv_pos, nsv_pos, psv_len, nsv_len = jax.lax.sort(

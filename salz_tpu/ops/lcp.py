@@ -450,6 +450,7 @@ def candidate_lengths_slot_batch(
     lslot: jax.Array,
     rslot: jax.Array,
     n: jax.Array,
+    buckets=None,
     *,
     cap: int,
 ):
@@ -457,7 +458,13 @@ def candidate_lengths_slot_batch(
     suffix sa[k] with its PSV / NSV candidate (0 where absent).
 
     lslot/rslot are slot indices of the nearest-smaller neighbors (-1 absent),
-    as produced by the ANSV stage (slot order).
+    as produced by the ANSV stage (slot order). `buckets` optionally carries
+    the ANSV stage's compacted crossing buckets (qpos_l, count_l, qpos_r,
+    count_r): every range-min crossing query's slot is in them (lslot outside
+    the row implies no in-row ANSV answer), and the extra boundary slots they
+    contain (lslot == rowbase-1 / rslot == rowbase+W) resolve exactly through
+    the same-row / edge-minima logic — so reusing them skips this stage's own
+    two full-width compaction sorts.
     """
     B = lcp_adj.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
@@ -505,22 +512,43 @@ def candidate_lengths_slot_batch(
     cross_p = (lslot >= 0) & (lslot < rowbase - 1)
     cross_n = (rslot >= 0) & (rslot > rowbase + _RW - 1)
 
-    # Compact crossing queries (~1.3%/side at 512-wide rows) with fused-key
-    # sorts (flag in bit 26; cap <= 2^24) carrying one payload each.
-    cnt_p = jnp.sum(cross_p.astype(jnp.int32), axis=1)
-    cnt_n = jnp.sum(cross_n.astype(jnp.int32), axis=1)
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (lcp_adj - lcp_adj)
-    flagbit = jnp.int32(1 << 26)
-    fused_p, qlo_p = jax.lax.sort(
-        (jnp.where(cross_p, slot_iota, slot_iota | flagbit), lslot + 1),
-        num_keys=1, dimension=1,
-    )
-    fused_n, qhi_n = jax.lax.sort(
-        (jnp.where(cross_n, slot_iota, slot_iota | flagbit), rslot),
-        num_keys=1, dimension=1,
-    )
-    qp = fused_p & (flagbit - 1)
-    qn = fused_n & (flagbit - 1)
+    frow0 = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
+    if buckets is not None:
+        # Reuse the ANSV crossing buckets (see docstring): gather the range
+        # endpoints at the compacted slots (rung-width gathers) instead of
+        # re-sorting two full-width arrays.
+        qpos_l, cnt_p, qpos_r, cnt_n = buckets
+
+        def get_pq(M):
+            qpM = jnp.clip(qpos_l[:, :M], 0, cap - 1)
+            return qpM, lslot.reshape(-1)[frow0 + qpM] + 1
+
+        def get_nq(M):
+            qnM = jnp.clip(qpos_r[:, :M], 0, cap - 1)
+            return qnM, rslot.reshape(-1)[frow0 + qnM]
+    else:
+        # Compact crossing queries (~1.3%/side at 512-wide rows) with
+        # fused-key sorts (flag in bit 26; cap <= 2^24), one payload each.
+        cnt_p = jnp.sum(cross_p.astype(jnp.int32), axis=1)
+        cnt_n = jnp.sum(cross_n.astype(jnp.int32), axis=1)
+        flagbit = jnp.int32(1 << 26)
+        fused_p, qlo_p = jax.lax.sort(
+            (jnp.where(cross_p, slot_iota, slot_iota | flagbit), lslot + 1),
+            num_keys=1, dimension=1,
+        )
+        fused_n, qhi_n = jax.lax.sort(
+            (jnp.where(cross_n, slot_iota, slot_iota | flagbit), rslot),
+            num_keys=1, dimension=1,
+        )
+        qp = fused_p & (flagbit - 1)
+        qn = fused_n & (flagbit - 1)
+
+        def get_pq(M):
+            return jnp.clip(qp[:, :M], 0, cap - 1), qlo_p[:, :M]
+
+        def get_nq(M):
+            return jnp.clip(qn[:, :M], 0, cap - 1), qhi_n[:, :M]
     rowtab, LR = _rowmin_tables(lcp_adj, cap=cap)
     frow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
 
@@ -538,14 +566,16 @@ def candidate_lengths_slot_batch(
             mid = jnp.arange(M, dtype=jnp.int32)[None, :]
             vp = mid < cnt_p[:, None]
             vn = mid < cnt_n[:, None]
+            qpM, qloM = get_pq(M)
+            qnM, qhiM = get_nq(M)
             rp = _crossing_rangemin(
-                suf, pre, rowtab, LR, qlo_p[:, :M], qp[:, :M], vp, cap=cap
+                suf, pre, rowtab, LR, qloM, qpM, vp, cap=cap
             )
             rn = _crossing_rangemin(
-                suf, pre, rowtab, LR, qn[:, :M] + 1, qhi_n[:, :M], vn, cap=cap
+                suf, pre, rowtab, LR, qnM + 1, qhiM, vn, cap=cap
             )
-            out_p = scat(psv_in, vp, qp[:, :M], rp)
-            out_n = scat(nsv_in, vn, qn[:, :M], rn)
+            out_p = scat(psv_in, vp, qpM, rp)
+            out_n = scat(nsv_in, vn, qnM, rn)
             return out_p, out_n
 
         return path

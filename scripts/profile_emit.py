@@ -48,23 +48,27 @@ def inputs():
         z = np.load(cache)
         return z["blocks"], z["lens"], z["offs"], z["lengths"]
     from bench import make_corpus
-    from salz_tpu.oracle import pycodec as oc
+    from salz_tpu.ops.parse import optimal_parse_chunked_batch
 
     data = make_corpus(B * CAP)
     blocks = np.frombuffer(data, np.uint8).reshape(B, CAP).copy()
     lens = np.full(B, CAP, np.int32)
-    offs = np.zeros((B, CAP), np.int32)
-    lengths = np.ones((B, CAP), np.int32)
-    for b in range(B):
-        text = blocks[b, :-8]
-        sa = oc.suffix_array(text)
-        psv, nsv = oc.psv_nsv(sa)
-        po, pl, no, nl = oc.factorize(text, psv, nsv)
-        o, l, _ = oc.optimal_parse(text, po, pl, no, nl)
-        m = len(text)
-        offs[b, :m] = o
-        lengths[b, :m] = l
-        print(f"block {b} parsed", flush=True)
+    pz = f"/tmp/parse_inputs_{CAP}_{B}.npz"
+    if not os.path.exists(pz):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "gen_parse_inputs.py")],
+            check=True, env={**os.environ, "CAP": str(CAP), "B": str(B)},
+        )
+    z = np.load(pz)
+    offs, lengths, _ = optimal_parse_chunked_batch(
+        jnp.asarray(z["po"]), jnp.asarray(z["pl"]), jnp.asarray(z["no"]),
+        jnp.asarray(z["nl"]), jnp.asarray(z["n"]), cap=CAP,
+    )
+    offs = np.asarray(offs)
+    lengths = np.asarray(lengths)
     np.savez(cache, blocks=blocks, lens=lens, offs=offs, lengths=lengths)
     return blocks, lens, offs, lengths
 
