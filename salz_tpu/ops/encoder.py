@@ -23,7 +23,7 @@ from salz_tpu.ops.parse import (
     optimal_parse_chunked_batch,
     optimal_parse_sequential,
 )
-from salz_tpu.ops.suffix_array import suffix_array_prefixes
+from salz_tpu.ops.suffix_array import suffix_array_prefixes_batch
 
 
 def out_capacity(cap: int) -> int:
@@ -53,9 +53,9 @@ def encode_blocks_device(
     ns = block_lens - TAIL_RESERVE
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
 
-    sa, ckpt, n_levels, t32, p32 = jax.vmap(
-        lambda b, n: suffix_array_prefixes(b, n, cap=cap)
-    )(blocks, ns)
+    sa, ckpt, n_levels, t32, p32 = suffix_array_prefixes_batch(
+        blocks, ns, cap=cap
+    )
 
     # Slot-order middle stages (ANSV, adjacent LCPs, candidate range-mins),
     # then ONE sort carries everything to text order (sorts beat scatters

@@ -7,10 +7,19 @@ O(log n) arbitrary-pair LCP queries downstream (salz_tpu/ops/lcp.py) — the
 TPU-parallel replacement for the reference's sequential seeded LCP scan
 (salz.c:492-514).
 
-Two TPU-cost-model tricks (PERFORMANCE.md):
+TPU-cost-model tricks (PERFORMANCE.md):
 
-* The first THREE doubling rounds are fused into one 2-key sort over packed
-  9-bit byte symbols (4 bytes per position), saving two sort+invert rounds.
+* The first FOUR doubling rounds are fused into one 6-key sort over packed
+  9-bit byte symbols (16 bytes per position), saving three sort+invert rounds.
+* Ranks are HEAD-INDEX ranks (the rank of a suffix is the SA slot of the
+  first member of its equal-prefix group), not dense ranks. Equality is all
+  the LCP descent needs, and head-index ranks make doubling rounds IDEMPOTENT
+  for already-resolved suffixes — which enables the active-set phase below.
+* Two-phase doubling: rounds run at full width only while the active set
+  (suffixes in non-singleton rank groups) is large. Once it fits a static
+  cap/8 rung (measured: after ONE round on text/binary corpora the active
+  fraction is 0.3-6%), rounds sort only the compacted active set — two
+  narrow sorts + one narrow scatter instead of two full-width sorts.
 * The final rank->SA inversion sort carries the packed 8/16-byte text
   prefixes of every suffix as payloads, so downstream adjacent-suffix
   comparisons (the LCP stage) get the first 16 bytes of both suffixes from
@@ -19,7 +28,7 @@ Two TPU-cost-model tricks (PERFORMANCE.md):
 Shapes are static: the text lives in a fixed buffer of size `cap`, the valid
 length `n` is dynamic. Padded positions get distinct sentinel keys larger than
 any real key so they (a) sort after every real suffix and (b) never block the
-all-ranks-distinct early exit.
+all-resolved early exit.
 """
 
 from __future__ import annotations
@@ -28,6 +37,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+_BIG = jnp.int32(1 << 26)  # sorts-last flag; ranks/positions < 2^24 <= cap
 
 
 def num_levels(cap: int) -> int:
@@ -63,45 +74,70 @@ def packed_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     return [_pack(4 * w) for w in range(8)]
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
-    """Build SA, rank checkpoints, and slot-order prefixes for text[:n].
+def _packed_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
+    """Batch packed_prefixes: list of 8 int32[B, cap] arrays."""
+    B = blocks.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    byte = jnp.where(idx < ns[:, None], blocks.astype(jnp.int32), 0)
+    zeros = jnp.zeros((B, 32), jnp.int32)
+    wide = jnp.concatenate([byte, zeros], axis=1)
 
+    def _sh(k):
+        return wide[:, k : k + cap]
+
+    def _pack(k):
+        return (_sh(k) << 24) | (_sh(k + 1) << 16) | (_sh(k + 2) << 8) | _sh(k + 3)
+
+    return [_pack(4 * w) for w in range(8)]
+
+
+def _heads_to_rank(head: jax.Array) -> jax.Array:
+    """Head-index rank per sorted slot: the slot of its run's first member."""
+    B, cap = head.shape
+    p = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32)[None, :], (B, cap))
+    return jax.lax.cummax(jnp.where(head, p, jnp.int32(-1)), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
+    """Build SA, rank checkpoints, and slot-order prefixes per block.
+
+    Args:
+      blocks: uint8[B, cap]; ns: int32[B] valid lengths.
     Returns:
-      sa:   int32[cap] — sa[:n] is the suffix array of text[:n]; the padded
-            tail holds the sentinel suffixes in index order.
-      ckpt: int32[ckpt_rows(cap), cap] — ckpt[r][i] is an equality-preserving
-            rank of the substring text[i : i+2^(r+4)] (truncated at n).
-            Levels 0-3 are NOT stored (the LCP descent never probes below
-            level 4; the sub-16-byte remainder is resolved by text probes).
-            Levels that were not reached (all ranks already distinct) hold
-            all-distinct values, so equality tests there are vacuously false —
-            exactly what the LCP descent needs.
-      n_levels: int32 — number of levels actually filled (informational).
-      t32:  int32[4, cap] — text-order packed bytes i..i+3 / .. / i+12..i+15
-            (the LCP tail-probe tables).
-      p32:  int32[8, cap] — SLOT-order packed prefixes: p32[j][k] = bytes
-            sa[k]+4j .. sa[k]+4j+3 — the first 32 bytes of every suffix in
-            suffix-array order, for gather-free adjacent comparisons.
+      sa:   int32[B, cap] — sa[b, :ns[b]] is the suffix array of block b; the
+            padded tail holds the sentinel suffixes in index order.
+      ckpt: int32[B, ckpt_rows(cap), cap] — ckpt[b, r] is an
+            equality-preserving rank of text[i : i+2^(r+4)] (truncated at n).
+            Ranks are HEAD-INDEX ranks; only equality is meaningful.
+            Levels that were not reached hold all-distinct values, so
+            equality tests there are vacuously false.
+      n_levels: int32[B] — levels filled per block (informational; the LCP
+            descent tops out at max(n_levels) - 1).
+      t32:  int32[B, 4, cap] — text-order packed bytes i..i+3 / .. / +12..+15.
+      p32:  int32[B, 8, cap] — SLOT-order packed prefixes: p32[b, j, k] =
+            bytes sa[k]+4j .. sa[k]+4j+3.
     """
+    B = blocks.shape[0]
     L = num_levels(cap)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    in_text = idx < n
-    byte = jnp.where(in_text, text.astype(jnp.int32), 0)
-    packs = packed_prefixes(text, n, cap=cap)
+    idx1 = jnp.arange(cap, dtype=jnp.int32)
+    idx = jnp.broadcast_to(idx1[None, :], (B, cap))
+    nb = ns[:, None]
+    in_text = idx < nb
+    byte = jnp.where(in_text, blocks.astype(jnp.int32), 0)
+    packs = _packed_prefixes_batch(blocks, ns, cap=cap)
+    bbase = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
 
     # ---- fused initial rounds: 16-byte ranks (= level 4, ckpt row 0) from
     # ONE 6-key sort of 3-symbol-packed keys (27 bits each; symbol 16 alone
     # in the last key). 9-bit symbols (byte+1 in text, 0 past n) make a
     # shorter suffix sort strictly before any extension — the truncation
-    # rule of the SA. This replaces the old 8-byte initial PLUS the first
-    # doubling round (a 3-op sort + a 2-op inversion sort) with two extra
-    # key operands in one sort.
+    # rule of the SA.
+    wide = jnp.concatenate([byte, jnp.zeros((B, 16), jnp.int32)], axis=1)
+
     def _sym(k):
-        if k >= cap:  # static shape guard for tiny test caps
-            return jnp.zeros(cap, jnp.int32)
-        s = jnp.concatenate([byte[k:], jnp.zeros(k, jnp.int32)]) + 1
-        return jnp.where(idx + k < n, s, 0)
+        s = wide[:, k : k + cap] + 1
+        return jnp.where(idx + k < nb, s, 0)
 
     def _pack3(k):
         return (_sym(k) << 18) | (_sym(k + 1) << 9) | _sym(k + 2)
@@ -110,62 +146,158 @@ def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
     keys_rest = [jnp.where(in_text, _pack3(k), 0) for k in (3, 6, 9, 12)]
     keyF = jnp.where(in_text, _sym(15), 0)
     sorted16 = jax.lax.sort(
-        (keyA, *keys_rest, keyF, idx), num_keys=6
+        (keyA, *keys_rest, keyF, idx), num_keys=6, dimension=1
     )
     perm = sorted16[-1]
-    changed = jnp.zeros((1,), jnp.int32)
-    diff = jnp.zeros(cap - 1, jnp.bool_)
+    eq = jnp.ones((B, cap - 1), jnp.bool_)
     for kk in sorted16[:-1]:
-        diff = diff | (kk[1:] != kk[:-1])
-    changed = jnp.concatenate([changed, diff.astype(jnp.int32)])
-    rank16_sorted = jnp.cumsum(changed, dtype=jnp.int32)
-    _, rank16 = jax.lax.sort((perm, rank16_sorted), num_keys=1)
-
-    ckpt0 = jnp.broadcast_to(idx, (ckpt_rows(cap), cap))
-    ckpt0 = ckpt0.at[0].set(rank16)  # row 0 = level 4 = 16-byte ranks
-
-    def all_distinct(rank):
-        return jnp.max(rank) == cap - 1
-
-    def round_body(state):
-        rank, ckpt, level, _ = state
-        h = jnp.int32(1) << (level - 1)  # current block half-length 2^(l-1)
-        # rank2[i] = rank[i + h] (or -1 past the text) — a contiguous shifted
-        # slice, NOT a gather: the index is iota + a dynamic scalar.
-        rank_padded = jnp.concatenate([rank, jnp.full(cap, -1, jnp.int32)])
-        rank2 = jax.lax.dynamic_slice(rank_padded, (h,), (cap,))
-        rank2 = jnp.where(idx + h < n, rank2, jnp.int32(-1))
-        # Sort (rank, rank2, index); ranks are dense so pairs identify blocks.
-        k1, k2, perm = jax.lax.sort((rank, rank2, idx), num_keys=2)
-        changed = jnp.concatenate(
-            [
-                jnp.zeros((1,), jnp.int32),
-                ((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])).astype(jnp.int32),
-            ]
-        )
-        new_rank_sorted = jnp.cumsum(changed, dtype=jnp.int32)
-        # Invert the permutation with a sort (cheaper than a 1-D scatter on
-        # TPU): sorting (perm, new_rank_sorted) by perm lands every new rank
-        # at its text position.
-        _, new_rank = jax.lax.sort((perm, new_rank_sorted), num_keys=1)
-        ckpt = ckpt.at[level - 4].set(new_rank)
-        return new_rank, ckpt, level + 1, all_distinct(new_rank)
-
-    def cond(state):
-        _, _, level, done = state
-        return (~done) & (level < L)
-
-    rank, ckpt, level, _ = jax.lax.while_loop(
-        cond, round_body, (rank16, ckpt0, jnp.int32(5), all_distinct(rank16))
+        eq = eq & (kk[:, 1:] == kk[:, :-1])
+    head_s = jnp.concatenate([jnp.ones((B, 1), jnp.bool_), ~eq], axis=1)
+    rank_s = _heads_to_rank(head_s)
+    # active = member of a non-singleton 16-byte group (run length > 1)
+    nxt_head = jnp.concatenate([head_s[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
+    act_s = ~(head_s & nxt_head)
+    # invert to text order, carrying the active flag
+    _, rank16, act16 = jax.lax.sort(
+        (perm, rank_s, act_s.astype(jnp.int32)), num_keys=1, dimension=1
     )
+
+    rows = ckpt_rows(cap)
+    ckpt0 = jnp.broadcast_to(idx1[None, None, :], (B, rows, cap))
+    ckpt0 = jax.lax.dynamic_update_slice(
+        ckpt0, rank16[:, None, :], (0, 0, 0)
+    )  # row 0 = level 4 = 16-byte ranks
+
+    mrow0 = jnp.sum(act16, axis=1)
+    lvl0 = jnp.where(mrow0 == 0, jnp.int32(5), jnp.int32(0))
+
+    M = min(cap, max(cap // 8, 512))  # compacted-phase rung
+    # phase 1 runs down to the rung, or (tiny caps, M == cap) to completion
+    thresh = M if M < cap else 0
+
+    # ---------------- phase 1: full-width rounds while max active > M ------
+    def full_body(state):
+        rank, ckpt, act, mrow, lvl_out, level = state
+        h = jnp.int32(1) << (level - 1)
+        wide_r = jnp.concatenate([rank, jnp.full((B, cap), -1, jnp.int32)], 1)
+        rank2 = jax.lax.dynamic_slice(wide_r, (0, h), (B, cap))
+        rank2 = jnp.where(idx + h < nb, rank2, jnp.int32(-1))
+        k1, k2, perm = jax.lax.sort((rank, rank2, idx), num_keys=2, dimension=1)
+        head = jnp.concatenate(
+            [
+                jnp.ones((B, 1), jnp.bool_),
+                (k1[:, 1:] != k1[:, :-1]) | (k2[:, 1:] != k2[:, :-1]),
+            ],
+            axis=1,
+        )
+        new_rank_s = _heads_to_rank(head)
+        nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
+        act_srt = ~(head & nxt)
+        # Invert the permutation with a sort (cheaper than a 1-D scatter on
+        # TPU): sorting by perm lands every new rank at its text position.
+        _, new_rank, act_new = jax.lax.sort(
+            (perm, new_rank_s, act_srt.astype(jnp.int32)), num_keys=1,
+            dimension=1,
+        )
+        ckpt = jax.lax.dynamic_update_slice(
+            ckpt, new_rank[:, None, :], (0, level - 4, 0)
+        )
+        mrow_new = jnp.sum(act_new, axis=1)
+        lvl_out = jnp.where((mrow > 0) & (mrow_new == 0), level + 1, lvl_out)
+        return new_rank, ckpt, act_new, mrow_new, lvl_out, level + 1
+
+    def full_cond(state):
+        _, _, _, mrow, _, level = state
+        return (jnp.max(mrow) > thresh) & (level < L)
+
+    rank, ckpt, act, mrow, lvl_out, level = jax.lax.while_loop(
+        full_cond, full_body, (rank16, ckpt0, act16, mrow0, lvl0, jnp.int32(5))
+    )
+
+    # ---------------- phase 2: compacted rounds at rung M -------------------
+    # Extract the active set once (group-contiguous, SA order): one fused-key
+    # full-width sort; thereafter every round is M-wide. Head-index ranks
+    # make rounds idempotent for resolved lanes, so no per-lane masking.
+    if M < cap:
+        key = jnp.where(act == 1, rank, _BIG)
+        ra0, apos0 = jax.lax.sort((key, idx), num_keys=1, dimension=1)
+        ra0 = ra0[:, :M]
+        apos0 = apos0[:, :M]
+        col = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+        bbM = bbase  # (B, 1)
+
+        def comp_body(state):
+            rank, ckpt, apos, ra, mrow, lvl_out, level = state
+            h = jnp.int32(1) << (level - 1)
+            valid = col < mrow[:, None]
+            pos2 = apos + h
+            r2 = rank.reshape(-1)[(bbM + jnp.clip(pos2, 0, cap - 1)).reshape(B, M)]
+            r2 = jnp.where(valid & (pos2 < nb), r2, jnp.int32(-1))
+            ra_in = jnp.where(valid, ra, _BIG)
+            ra_s, r2_s, pos_s = jax.lax.sort(
+                (ra_in, r2, apos), num_keys=2, dimension=1
+            )
+            ghead = jnp.concatenate(
+                [jnp.ones((B, 1), jnp.bool_), ra_s[:, 1:] != ra_s[:, :-1]], 1
+            )
+            head = ghead | jnp.concatenate(
+                [jnp.ones((B, 1), jnp.bool_), r2_s[:, 1:] != r2_s[:, :-1]], 1
+            )
+            p0 = jax.lax.cummax(jnp.where(ghead, col, jnp.int32(-1)), axis=1)
+            glob = ra_s + (col - p0)  # this element's final SA slot candidate
+            newr = jax.lax.cummax(jnp.where(head, glob, jnp.int32(-1)), axis=1)
+            valid_s = col < mrow[:, None]
+            flat = jnp.where(
+                valid_s, (bbM + pos_s).reshape(B, M), jnp.int32(B * cap)
+            )
+            rank = (
+                rank.reshape(-1)
+                .at[flat.reshape(-1)]
+                .set(newr.reshape(-1), mode="drop")
+                .reshape(B, cap)
+            )
+            ckpt = jax.lax.dynamic_update_slice(
+                ckpt, rank[:, None, :], (0, level - 4, 0)
+            )
+            nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
+            act2 = (~(head & nxt)) & valid_s
+            key2 = jnp.where(act2, glob, _BIG)
+            _, apos_n, ra_n = jax.lax.sort(
+                (key2, pos_s, newr), num_keys=1, dimension=1
+            )
+            mrow_new = jnp.sum(act2.astype(jnp.int32), axis=1)
+            lvl_out = jnp.where(
+                (mrow > 0) & (mrow_new == 0), level + 1, lvl_out
+            )
+            return rank, ckpt, apos_n, ra_n, mrow_new, lvl_out, level + 1
+
+        def comp_cond(state):
+            _, _, _, _, mrow, _, level = state
+            return (jnp.max(mrow) > 0) & (level < L)
+
+        rank, ckpt, _, _, mrow, lvl_out, level = jax.lax.while_loop(
+            comp_cond, comp_body,
+            (rank, ckpt, apos0, ra0, mrow, lvl_out, level),
+        )
+
+    n_levels = jnp.where(mrow > 0, level, lvl_out)
     # rank is now a permutation of [0, cap); invert via sort, carrying the
     # packed 32-byte prefixes into slot order as payloads (sort payloads are
     # far cheaper than the equivalent post-hoc gathers).
-    sorted_out = jax.lax.sort((rank, idx, *packs), num_keys=1)
+    sorted_out = jax.lax.sort((rank, idx, *packs), num_keys=1, dimension=1)
     sa = sorted_out[1]
-    t32 = jnp.stack(packs[:4])
-    p32 = jnp.stack(sorted_out[2:])
-    return sa, ckpt, level, t32, p32
+    t32 = jnp.stack(packs[:4], axis=1)
+    p32 = jnp.stack(sorted_out[2:], axis=1)
+    return sa, ckpt, n_levels, t32, p32
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def suffix_array_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
+    """Single-block suffix_array_prefixes_batch (see its docstring)."""
+    sa, ckpt, n_levels, t32, p32 = suffix_array_prefixes_batch(
+        text[None], jnp.asarray(n)[None].astype(jnp.int32), cap=cap
+    )
+    return sa[0], ckpt[0], n_levels[0], t32[0], p32[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))

@@ -20,7 +20,7 @@ from salz_tpu.ops.ansv import ansv_slots_vals_batch
 from salz_tpu.ops.emit import emit_stream_batch, token_starts
 from salz_tpu.ops.lcp import adjacent_lcp_batch, candidate_lengths_slot_batch
 
-from salz_tpu.ops.suffix_array import suffix_array_prefixes
+from salz_tpu.ops.suffix_array import suffix_array_prefixes_batch
 
 CAP = int(os.environ.get("CAP", str(1 << 20)))
 CHUNK = int(os.environ.get("CHUNK", "512"))
@@ -57,9 +57,7 @@ def main():
     ns = jnp.full((B,), CAP - 8, jnp.int32)
     idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
 
-    sa_fn = jax.jit(
-        jax.vmap(lambda b, n: suffix_array_prefixes(b, n, cap=CAP))
-    )
+    sa_fn = jax.jit(lambda b, n: suffix_array_prefixes_batch(b, n, cap=CAP))
     sa, ckpt, nlv, t32, p32 = timeit("suffix_array", sa_fn, blocks, ns)
     print(f"  (levels filled: {np.asarray(nlv)})", flush=True)
     valid = idx < ns[:, None]
