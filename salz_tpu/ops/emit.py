@@ -369,7 +369,7 @@ def emit_stream_batch(
     total_bits = jnp.sum(bits_pos, axis=1) + TAIL_RESERVE
     max_slots = jnp.max((total_bits + 63) >> 6)
 
-    S_SMALL = cap // 64 + 2
+    S_SMALL = cap // 32 + 2
     S_FULL = cap // 8 + 2
 
     def core(tcap, scap):
@@ -381,11 +381,13 @@ def emit_stream_batch(
     # Token-width x slot-count bucket ladder: every token-indexed scatter/
     # cumsum costs linearly in tcap, and the slot-byte synthesis plus the
     # payload merge sort cost linearly in scap. Measured loads on text
-    # (scripts/ladder_stats.py, profile_emit.py): tokens ~6.4% of cap,
-    # slots ~13k of the 131k bound, so the narrow rung is the common case.
+    # (scripts/ladder_stats.py, profile_emit.py): tokens ~6.4% of cap
+    # (just OVER a cap/16 rung — hence cap/8), slots ~18.4k of the 131k
+    # bound (just OVER a cap/64 rung — hence cap/32), so the narrow rung
+    # is the common case.
     return jax.lax.cond(
-        (max_text <= cap // 16) & (max_slots <= S_SMALL - 2),
-        core(cap // 16 + TAIL_RESERVE, S_SMALL),
+        (max_text <= cap // 8) & (max_slots <= S_SMALL - 2),
+        core(cap // 8 + TAIL_RESERVE, S_SMALL),
         lambda _: jax.lax.cond(
             max_text <= cap // 4,
             core(cap // 4 + TAIL_RESERVE, S_FULL),
