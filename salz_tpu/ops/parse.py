@@ -269,6 +269,17 @@ def _sweep_kernel(
 
 def _sweep_tpu(nb, pw, nw, pt, nt, pre_far, *, cap: int, window: int):
     B = pw.shape[0]
+    if B == 1:
+        # Mosaic refuses the kernel's lane-gathers (take_along_axis) on
+        # single-sublane (1, 128) operands; pad to two lanes — VMEM tiles are
+        # 8 sublanes anyway, so the dummy lane (nb = 0 -> everything inactive)
+        # is essentially free.
+        pad2 = lambda a: jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
+        u, choice = _sweep_tpu(
+            pad2(nb), pad2(pw), pad2(nw), pad2(pt), pad2(nt), pad2(pre_far),
+            cap=cap, window=window,
+        )
+        return u[:1], choice[:1]
     nsup = cap // _SUP
     spec = lambda: pl.BlockSpec(
         (B, _SUP), lambda c: (0, nsup - 1 - c), memory_space=pltpu.VMEM

@@ -30,3 +30,8 @@ def enable(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
+
+
+def cache_dir() -> str:
+    """The directory the persistent cache writes to (after enable())."""
+    return _DEFAULT

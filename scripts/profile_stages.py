@@ -49,8 +49,18 @@ def main():
     import jax.lax
 
     B = int(os.environ.get("B", "1"))
-    print(f"devices: {jax.devices()}  cap={CAP} batch={B}", flush=True)
-    data = make_corpus(B * CAP)
+    src = os.environ.get("CORPUS", "")
+    print(
+        f"devices: {jax.devices()}  cap={CAP} batch={B} "
+        f"corpus={src or 'synthetic'}",
+        flush=True,
+    )
+    if src:
+        data = open(src, "rb").read()[: B * CAP]
+        if len(data) < B * CAP:
+            data += make_corpus(B * CAP - len(data))
+    else:
+        data = make_corpus(B * CAP)
     blocks = jnp.asarray(
         np.frombuffer(data, np.uint8).reshape(B, CAP)
     )

@@ -39,15 +39,40 @@ def check(name, ok):
 
 
 def corpus_bytes(total: int) -> bytes:
-    paths = [f"corpora/{k}.bin" for k in ("text", "source", "binary")]
-    if all(os.path.exists(p) for p in paths):
-        data = b"".join(open(p, "rb").read() for p in paths)
-        while len(data) < total:
-            data += data
-        return data[:total]
-    from bench import make_corpus
+    """Real-file corpus of `total` bytes WITHOUT self-duplication.
 
-    return make_corpus(total)
+    Doubling (`data += data`) creates multi-MiB exact repeats that force the
+    doubling SA through every level and saturate the LCP buckets — a
+    legitimate adversarial case, but not representative; scripts/make_corpora
+    builders pull as much distinct on-image data as needed instead."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_corpora import build_binary, build_source, build_text
+
+    parts = []
+    have = 0
+    for name, build in (
+        ("text", build_text), ("source", build_source), ("binary", build_binary)
+    ):
+        path = f"corpora/{name}.bin"
+        part = (
+            open(path, "rb").read() if os.path.exists(path) else build(8 << 20)
+        )
+        parts.append(part)
+        have += len(part)
+    # Extend with DISTINCT continuations of the source/binary pools (skip the
+    # prefix already included above), never by repeating what we have.
+    for name, build in (("source", build_source), ("binary", build_binary)):
+        if have >= total:
+            break
+        base = len(parts[1] if name == "source" else parts[2])
+        more = build(base + (total - have))[base:]
+        parts.append(more)
+        have += len(more)
+    if have < total:
+        from bench import make_corpus
+
+        parts.append(make_corpus(total - have))
+    return b"".join(parts)[:total]
 
 
 def run_level(level: int) -> None:
