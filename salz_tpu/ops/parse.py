@@ -132,14 +132,20 @@ def _shift_left_lane(a, h, fill):
 
 
 def _sweep_kernel(
-    nb_ref, pw_ref, nw_ref, pt_ref, nt_ref, far_ref, out_ref, choice_ref, S,
-    *, cap: int, window: int
+    nb_ref, base_ref, uw_ref, pw_ref, nw_ref, pt_ref, nt_ref, far_ref,
+    out_ref, choice_ref, S, *, window: int
 ):
-    """One backward sweep over all positions; see module docstring.
+    """One backward sweep over a SEGMENT of positions; see module docstring.
 
     S (VMEM scratch, (B, _SUP + window)) holds u[lo_s : lo_s + _SUP + window)
-    for the current super-chunk base lo_s; the grid walks super-chunks from
-    the back, shifting S by _SUP after each step.
+    for the current super-chunk base lo_s (segment-local); the grid walks
+    super-chunks from the back, shifting S by _SUP after each step.
+
+    base_ref (B, 1) is the segment's global start position; uw_ref (B,
+    window) carries u[seg_end : seg_end + window) — the already-FINAL values
+    just above the segment (for the whole-block sweep: u[cap] = 0, INF
+    beyond). This is what lets the far path re-sweep one segment at a time
+    against converged later segments instead of re-sweeping the whole block.
 
     choice_ref gets the reference's tie-exact factor selection (0 literal,
     1 PSV, 2 NSV) computed from the CONVERGED u values while they are still
@@ -149,17 +155,13 @@ def _sweep_kernel(
     c = pl.program_id(0)
     nsup = pl.num_programs(0)
     nb = nb_ref[:]  # (B, 1)
+    base = base_ref[:]  # (B, 1) global segment start
     B = nb.shape[0]
     lo_s = (nsup - 1 - c) * _SUP
 
     @pl.when(c == 0)
     def _init():
-        gcol = jax.lax.broadcasted_iota(
-            jnp.int32, (B, _SUP + window), 1
-        ) + (cap - _SUP)
-        S[:] = jnp.where((gcol >= nb) & (gcol <= cap), 0, _INT_INF).astype(
-            jnp.int32
-        )
+        S[:, _SUP:] = uw_ref[:]
 
     pw = pw_ref[:]
     nw = nw_ref[:]
@@ -187,13 +189,13 @@ def _sweep_kernel(
         ntl = nt[:, sl]
         pwl = pw[:, sl]
         nwl = nw[:, sl]
-        pos = lo_s + _C * i + lane
+        pos = base + lo_s + _C * i + lane
         act = (pos >= 1) & (pos < nb)
         rest = jnp.where(pos >= nb, 0, _INT_INF).astype(jnp.int32)
 
         # Crossing edges: targets in [hi, hi + window) are FINAL — gather once.
-        dp = ptl - hi
-        dn = ntl - hi
+        dp = ptl - (base + hi)
+        dn = ntl - (base + hi)
         p_near = (dp >= 0) & (dp < window)
         n_near = (dn >= 0) & (dn < window)
         gp = wgather(win, jnp.clip(dp, 0, window - 1))
@@ -205,8 +207,8 @@ def _sweep_kernel(
         # In-row edges (strictly below hi; t == hi is a crossing edge above).
         p_in = dp < 0
         n_in = dn < 0
-        plo = jnp.where(p_in, ptl - (hi - _C), 0)
-        nlo = jnp.where(n_in, ntl - (hi - _C), 0)
+        plo = jnp.where(p_in, ptl - (base + hi - _C), 0)
+        nlo = jnp.where(n_in, ntl - (base + hi - _C), 0)
         pw_in = jnp.where(p_in, pwl, _INT_INF)
         nw_in = jnp.where(n_in, nwl, _INT_INF)
 
@@ -267,7 +269,9 @@ def _sweep_kernel(
     S[:, _SUP : _SUP + window] = tail
 
 
-def _sweep_tpu(nb, pw, nw, pt, nt, pre_far, *, cap: int, window: int):
+def _sweep_tpu(nb, base, uw, pw, nw, pt, nt, pre_far, *, seglen: int,
+               window: int):
+    """Sweep one segment [base, base + seglen) given final values uw above."""
     B = pw.shape[0]
     if B == 1:
         # Mosaic refuses the kernel's lane-gathers (take_along_axis) on
@@ -276,29 +280,32 @@ def _sweep_tpu(nb, pw, nw, pt, nt, pre_far, *, cap: int, window: int):
         # is essentially free.
         pad2 = lambda a: jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
         u, choice = _sweep_tpu(
-            pad2(nb), pad2(pw), pad2(nw), pad2(pt), pad2(nt), pad2(pre_far),
-            cap=cap, window=window,
+            pad2(nb), pad2(base), pad2(uw), pad2(pw), pad2(nw), pad2(pt),
+            pad2(nt), pad2(pre_far), seglen=seglen, window=window,
         )
         return u[:1], choice[:1]
-    nsup = cap // _SUP
+    nsup = seglen // _SUP
     spec = lambda: pl.BlockSpec(
         (B, _SUP), lambda c: (0, nsup - 1 - c), memory_space=pltpu.VMEM
     )
+    whole = lambda w: pl.BlockSpec(
+        (B, w), lambda c: (0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
-        functools.partial(_sweep_kernel, cap=cap, window=window),
+        functools.partial(_sweep_kernel, window=window),
         grid=(nsup,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, cap), jnp.int32),
-            jax.ShapeDtypeStruct((B, cap), jnp.int32),
+            jax.ShapeDtypeStruct((B, seglen), jnp.int32),
+            jax.ShapeDtypeStruct((B, seglen), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            whole(1), whole(1), whole(window),
             spec(), spec(), spec(), spec(), spec(),
         ],
         out_specs=(spec(), spec()),
         scratch_shapes=[pltpu.VMEM((B, _SUP + window), jnp.int32)],
         interpret=_FORCE_INTERPRET,
-    )(nb, pw, nw, pt, nt, pre_far)
+    )(nb, base, uw, pw, nw, pt, nt, pre_far)
 
 
 # ---------------------------------------------------------------------------
@@ -342,11 +349,14 @@ def optimal_parse_chunked_batch(
     if use_pallas:
         WINDOW = min(window, cap)
         nb2 = jnp.reshape(n, (B, 1)).astype(jnp.int32)
+        base0 = jnp.zeros((B, 1), jnp.int32)
+        # u just above the whole block: u[cap] = 0, fictional beyond.
+        uw_top = jnp.full((B, WINDOW), _INF, jnp.int32).at[:, :1].set(0)
 
         def sweep(pre_far, _unused):
             u_main, choice = _sweep_tpu(
-                nb2, psv_w, nsv_w, psv_tgt, nsv_tgt, pre_far,
-                cap=cap, window=WINDOW,
+                nb2, base0, uw_top, psv_w, nsv_w, psv_tgt, nsv_tgt, pre_far,
+                seglen=cap, window=WINDOW,
             )
             return (
                 jnp.concatenate(
@@ -534,6 +544,8 @@ def optimal_parse_chunked_batch(
     any_far = jnp.any(p_far | n_far)
 
     def far_branch(_):
+        """Whole-block value iteration (backend-generic XLA path)."""
+
         def far_pre(u):
             q = jnp.concatenate([brow_u + psv_tgt, brow_u + nsv_tgt], axis=1)
             g = u.reshape(-1)[q]
@@ -552,10 +564,7 @@ def optimal_parse_chunked_batch(
 
         def outer_body(state):
             u, pre_far, _, it = state
-            if use_pallas:
-                new_u = sweep(pre_far, None)[0]
-            else:
-                new_u = sweep(pre_far, None)
+            new_u = sweep(pre_far, None)
             new_pre = far_pre(new_u)
             return new_u, new_pre, improves(new_pre, new_u), it + 1
 
@@ -565,11 +574,92 @@ def optimal_parse_chunked_batch(
         )
         return select_gather(u_f)
 
+    def far_branch_pallas(_):
+        """Exact far-edge resolution one SEGMENT at a time, back to front.
+
+        All edges point forward, so once the segments above are final, a
+        segment's far contributions gathered from the current u are final
+        except for targets inside the segment itself — those converge in a
+        short intra-segment value iteration (chain depth <= segcap/WINDOW).
+        The old whole-block re-sweeps iterated to the GLOBAL far-chain
+        depth, which collapsed on real text (license corpora repeat every
+        few tens of KiB -> hundreds of chained far edges) and ran single
+        XLA programs long enough to get the TPU worker killed."""
+        SEGS = min(8, cap // _SUP)
+        segcap = cap // SEGS
+        ext = cap + 1 + WINDOW
+        brow_ext = (jnp.arange(B, dtype=jnp.int32) * ext)[:, None]
+        u_ext0 = jnp.concatenate(
+            [u, jnp.full((B, WINDOW), _INF, jnp.int32)], axis=1
+        )
+
+        def far_pre_seg(u_ext, lo):
+            pt_s = jax.lax.dynamic_slice(psv_tgt, (0, lo), (B, segcap))
+            nt_s = jax.lax.dynamic_slice(nsv_tgt, (0, lo), (B, segcap))
+            pw_s = jax.lax.dynamic_slice(psv_w, (0, lo), (B, segcap))
+            nw_s = jax.lax.dynamic_slice(nsv_w, (0, lo), (B, segcap))
+            pf_s = jax.lax.dynamic_slice(p_far, (0, lo), (B, segcap))
+            nf_s = jax.lax.dynamic_slice(n_far, (0, lo), (B, segcap))
+            q = jnp.concatenate([brow_ext + pt_s, brow_ext + nt_s], axis=1)
+            g = u_ext.reshape(-1)[q]
+            return jnp.minimum(
+                jnp.where(pf_s, pw_s + g[:, :segcap], _INF),
+                jnp.where(nf_s, nw_s + g[:, segcap:], _INF),
+            )
+
+        def seg_step(sj, u_ext):
+            lo = (SEGS - 1 - sj) * segcap
+            basej = jnp.full((B, 1), lo, jnp.int32)
+            pw_s = jax.lax.dynamic_slice(psv_w, (0, lo), (B, segcap))
+            nw_s = jax.lax.dynamic_slice(nsv_w, (0, lo), (B, segcap))
+            pt_s = jax.lax.dynamic_slice(psv_tgt, (0, lo), (B, segcap))
+            nt_s = jax.lax.dynamic_slice(nsv_tgt, (0, lo), (B, segcap))
+
+            def one_sweep(ue, pre_s):
+                uw = jax.lax.dynamic_slice(
+                    ue, (0, lo + segcap), (B, WINDOW)
+                )
+                useg, _ = _sweep_tpu(
+                    nb2, basej, uw, pw_s, nw_s, pt_s, nt_s, pre_s,
+                    seglen=segcap, window=WINDOW,
+                )
+                return jax.lax.dynamic_update_slice(ue, useg, (0, lo))
+
+            def improves(pre, ue):
+                cur = jax.lax.dynamic_slice(ue, (0, lo), (B, segcap))
+                return jnp.any(pre < cur)
+
+            # The boundary above changed (later segments just converged),
+            # so one unconditional near-re-relaxation sweep is required.
+            u_ext = one_sweep(u_ext, far_pre_seg(u_ext, lo))
+            pre1 = far_pre_seg(u_ext, lo)
+
+            def wcond(st):
+                _, pre, go, it = st
+                return go & (it < segcap // WINDOW + 3)
+
+            def wbody(st):
+                ue, pre, _, it = st
+                ue = one_sweep(ue, pre)
+                p2 = far_pre_seg(ue, lo)
+                return ue, p2, improves(p2, ue), it + 1
+
+            u_ext, _, _, _ = jax.lax.while_loop(
+                wcond, wbody,
+                (u_ext, pre1, improves(pre1, u_ext), jnp.int32(0)),
+            )
+            return u_ext
+
+        u_ext = jax.lax.fori_loop(0, SEGS, seg_step, u_ext0)
+        return select_gather(u_ext[:, : cap + 1])
+
     def near_branch(_):
         if use_pallas:
             return select_from_choice(u, choice)
         return select_gather(u)
 
+    if use_pallas:
+        return jax.lax.cond(any_far, far_branch_pallas, near_branch, 0)
     return jax.lax.cond(any_far, far_branch, near_branch, 0)
 
 
