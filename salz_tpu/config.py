@@ -26,9 +26,11 @@ class SalzConfig:
         default_factory=lambda: os.environ.get("SALZ_ENGINE", "jax")
     )
     #: blocks per device step for the jax engine (amortizes dispatch).
-    #: None = auto: 8 lanes up to the 1 MiB default block, halved per level
-    #: above (device state is ~100-190 B per input byte, so 16 MiB level-9
-    #: blocks run 1 lane at a time to fit HBM).
+    #: None = auto: keep ~8 MiB of text per dispatch — 256 lanes at level 0
+    #: down to 8 at the 1 MiB default block, halved per level above (device
+    #: state is ~100-190 B per input byte, so 16 MiB level-9 blocks run
+    #: 1 lane at a time to fit HBM). Constant bytes-per-dispatch keeps small
+    #: levels off the ~28 ms per-dispatch overhead cliff (PERFORMANCE.md).
     batch: int | None = field(
         default_factory=lambda: (
             int(os.environ["SALZ_BATCH"]) if "SALZ_BATCH" in os.environ
@@ -62,7 +64,9 @@ class SalzConfig:
         if self.parse not in ("chunked", "sequential"):
             raise ValueError(f"unknown parse strategy {self.parse!r}")
         if self.batch is None:
-            return replace(self, batch=max(1, 8 >> max(0, self.level - 5)))
+            return replace(
+                self, batch=max(1, (8 << 20) // fmt.block_size_for_level(self.level))
+            )
         if self.batch < 1:
             raise ValueError("batch must be >= 1")
         return self

@@ -7,12 +7,14 @@ TPU-parallel replacement for the reference's sequential seeded LCP scan
      slot k. The first 16 bytes of both suffixes arrive as SLOT-ORDER payloads
      of the suffix-array sort (salz_tpu/ops/suffix_array.py), so pairs with
      LCP < 16 are resolved by SHIFTED-SLICE compares — zero gathers. The
-     survivors (measured 7-40% on binary/text corpora) are compacted into a
-     cap/2 bucket and run a capped rank-checkpoint descent (levels 6..4 from
-     offset 16) plus an 8-byte direct text probe, reaching 136; the rare
-     saturated pairs escalate to an exact full descent in a cap/32 bucket.
-     Batch-level lax.cond falls back to uncompacted descents on overflow —
-     exactness always.
+     survivors either fit a cap/128 bucket (text/binary: ~0.6%) and run one
+     exact dynamic-depth checkpoint descent there, or — survivor-heavy blocks
+     (long-repeat corpora: 56-68%) — take the Φ/PLCP irreducible-LCP path:
+     descend ONLY the irreducible survivors (Φ(i) != Φ(i-1)+1), then fill
+     every reducible position with the exact identity PLCP[i] = PLCP[i-1]-1
+     via one cummax scan in text order. Batch-level lax.cond ladders pick the
+     narrowest bucket; a full-width descent remains as the exactness
+     backstop.
 
   2. `candidate_lengths_slot_batch` — psv_len/nsv_len per SA slot k via the
      LCP-interval identity: LCP(sa[k], sa[lslot[k]]) = min lcp_adj(lslot[k],
@@ -216,55 +218,125 @@ def adjacent_lcp_batch(
     count = jnp.sum(survivor.astype(jnp.int32), axis=1)
     max_count = jnp.max(count)
     M_TINY = max(cap // 128, 512)  # text/binary: ~0.6% survivors measured
-    M_SMALL = max(cap // 16, 512)  # skewed text: few % survivors
-    M_BIG = max(cap // 4, 512)  # source code: ~15-20% survivors
 
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (sa - sa)
-    _, qk_all, qa_all, qb_all = jax.lax.sort(
-        (jnp.where(survivor, 0, 1).astype(jnp.int32), slot_iota, a_base, b_base),
-        num_keys=1,
-        dimension=1,
-    )
+    flagbit = jnp.int32(1 << 26)
 
     def _resolve(qa, qb, vmask):
         l0 = jnp.where(vmask, jnp.full(qa.shape, 32, jnp.int32), 0)
         l1 = _descend_dynamic(ckpt, jmax, nb, vrow, qa, qb, l0, vmask, cap=cap)
         return l1 + _tail16(t32f, nb, vrow, qa, qb, l1, vmask, cap=cap)
 
-    def bucket_path(M: int):
-        def fn(_):
-            qk = jnp.clip(qk_all[:, :M], 0, cap - 1)
-            qa = qa_all[:, :M]
-            qb = qb_all[:, :M]
-            validb = jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
-            l1 = _resolve(qa, qb, validb)
-            flat = jnp.where(validb, vrow + qk, B * cap)
-            return (
-                lcp_free.reshape(-1)
-                .at[flat.reshape(-1)]
-                .set(l1.reshape(-1), mode="drop")
-                .reshape(B, cap)
-            )
+    def tiny_path(_):
+        """Few survivors: compact them all into one bucket and descend."""
+        M = M_TINY
+        _, qk_all, qa_all, qb_all = jax.lax.sort(
+            (
+                jnp.where(survivor, 0, 1).astype(jnp.int32), slot_iota,
+                a_base, b_base,
+            ),
+            num_keys=1,
+            dimension=1,
+        )
+        qk = jnp.clip(qk_all[:, :M], 0, cap - 1)
+        validb = jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
+        l1 = _resolve(qa_all[:, :M], qb_all[:, :M], validb)
+        flat = jnp.where(validb, vrow + qk, B * cap)
+        return (
+            lcp_free.reshape(-1)
+            .at[flat.reshape(-1)]
+            .set(l1.reshape(-1), mode="drop")
+            .reshape(B, cap)
+        )
 
-        return fn
+    def plcp_path(_):
+        """Survivor-heavy blocks: the Φ/PLCP irreducible-LCP decomposition.
 
-    def full_path(_):
-        l1 = _resolve(a_base, b_base, survivor)
-        return jnp.where(survivor, l1, lcp_free)
+        lcp_adj[k] = PLCP[sa[k]] with PLCP[i] = LCP(i, Φ(i)), Φ(i) =
+        sa[rank(i)-1]. PLCP is REDUCIBLE at i when Φ(i) = Φ(i-1)+1, and then
+        PLCP[i] = PLCP[i-1] - 1 EXACTLY (the mismatching byte pair — or the
+        n-truncation — just shifts by one; Kärkkäinen-Manzini-Puglisi). So
+        only irreducible survivors need a checkpoint descent; every reducible
+        position follows from the monotone identity PLCP[i]+i =
+        max_{known j<=i}(PLCP[j]+j) — one cummax. On long-repeat corpora
+        (56-68% of adjacent pairs share >= 32 bytes, BIGCAP_TPU.md) the
+        irreducible fraction is tiny, collapsing the dominant full-width
+        descent to a narrow bucket at the cost of three extra sorts.
+        """
+        in_text = idx < nb
+        # Text-order views via one sort keyed by sa (a permutation):
+        # rank_t[i] = SA slot of suffix i, phi_t[i] = sa[rank_t[i]-1],
+        # free_t/surv_t = slot-order values carried to text order.
+        _, rank_t, phi_t, free_t, surv_t = jax.lax.sort(
+            (b_base, slot_iota, a_base, lcp_free, survivor.astype(jnp.int32)),
+            num_keys=1,
+            dimension=1,
+        )
+        surv_tb = surv_t == 1  # implies rank_t >= 1 and i, phi_t < n
+        has_phi = (rank_t > 0) & in_text
+        phi_prev = jnp.concatenate(
+            [jnp.full((B, 1), -2, jnp.int32), phi_t[:, :-1]], axis=1
+        )
+        has_phi_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.bool_), has_phi[:, :-1]], axis=1
+        )
+        red = has_phi & has_phi_prev & (phi_t == phi_prev + 1)
+        need = surv_tb & ~red  # irreducible survivors: must descend
+        cnt_ir = jnp.sum(need.astype(jnp.int32), axis=1)
+        max_ir = jnp.max(cnt_ir)
 
-    return jax.lax.cond(
-        max_count <= M_TINY,
-        bucket_path(M_TINY),
-        lambda _: jax.lax.cond(
-            max_count <= M_SMALL,
-            bucket_path(M_SMALL),
+        fused = jnp.where(need, slot_iota, slot_iota | flagbit)
+        fused_s, qphi_all = jax.lax.sort((fused, phi_t), num_keys=1, dimension=1)
+        qi_all = fused_s & (flagbit - 1)
+
+        def finish(plcp0):
+            # plcp0 is exact at non-survivors and irreducible survivors;
+            # the scan fills reducible survivors (and agrees elsewhere).
+            known = in_text & (~surv_tb | need)
+            src = jnp.where(known, plcp0 + idx, jnp.int32(-1))
+            fill = jax.lax.cummax(src, axis=1) - idx
+            plcp = jnp.where(surv_tb & red, fill, plcp0)
+            _, lcp_slot = jax.lax.sort((rank_t, plcp), num_keys=1, dimension=1)
+            return jnp.where(valid_k, lcp_slot, 0)
+
+        def ir_bucket(M: int):
+            def fn(_):
+                qi = jnp.clip(qi_all[:, :M], 0, cap - 1)
+                vm = jnp.arange(M, dtype=jnp.int32)[None, :] < cnt_ir[:, None]
+                l1 = _resolve(qphi_all[:, :M], qi, vm)
+                flat = jnp.where(vm, vrow + qi, B * cap)
+                plcp0 = (
+                    free_t.reshape(-1)
+                    .at[flat.reshape(-1)]
+                    .set(l1.reshape(-1), mode="drop")
+                    .reshape(B, cap)
+                )
+                return finish(plcp0)
+
+            return fn
+
+        def ir_full(_):
+            l1 = _resolve(phi_t, slot_iota, need)
+            return finish(jnp.where(need, l1, free_t))
+
+        M_IR1 = max(cap // 128, 512)
+        M_IR2 = max(cap // 32, 512)
+        M_IR3 = max(cap // 8, 512)
+        return jax.lax.cond(
+            max_ir <= M_IR1,
+            ir_bucket(M_IR1),
             lambda _: jax.lax.cond(
-                max_count <= M_BIG, bucket_path(M_BIG), full_path, 0
+                max_ir <= M_IR2,
+                ir_bucket(M_IR2),
+                lambda _: jax.lax.cond(
+                    max_ir <= M_IR3, ir_bucket(M_IR3), ir_full, 0
+                ),
+                0,
             ),
             0,
-        ),
-        0,
-    )
+        )
+
+    return jax.lax.cond(max_count <= M_TINY, tiny_path, plcp_path, 0)
 
 
 # ---------------------------------------------------------------------------

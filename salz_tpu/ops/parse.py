@@ -151,9 +151,14 @@ def _sweep_kernel(
     1 PSV, 2 NSV) computed from the CONVERGED u values while they are still
     in VMEM — the selection gathers cost ~3x the whole sweep when done as
     XLA full-size random gathers afterwards. Only exact when far_ref is all
-    INF (no factor longer than `window`); the far path re-selects outside."""
-    c = pl.program_id(0)
-    nsup = pl.num_programs(0)
+    INF (no factor longer than `window`); the far path re-selects outside.
+
+    The grid is (batch_tiles, nsup): batch rows are independent, so large
+    batches (small caps auto-batch up to 256 lanes) are tiled to keep the
+    scoped-VMEM footprint constant; c counts super-chunks within the tile
+    and restarts at 0 on every new tile, re-initializing S."""
+    c = pl.program_id(1)
+    nsup = pl.num_programs(1)
     nb = nb_ref[:]  # (B, 1)
     base = base_ref[:]  # (B, 1) global segment start
     B = nb.shape[0]
@@ -285,15 +290,20 @@ def _sweep_tpu(nb, base, uw, pw, nw, pt, nt, pre_far, *, seglen: int,
         )
         return u[:1], choice[:1]
     nsup = seglen // _SUP
+    # Tile the independent batch rows into the grid: 8-row tiles keep the
+    # double-buffered VMEM footprint constant no matter the batch (level-0
+    # auto-batch is 256 lanes; B-whole specs OOM scoped VMEM past ~32).
+    BT = 8 if B % 8 == 0 else B
+    nbt = B // BT
     spec = lambda: pl.BlockSpec(
-        (B, _SUP), lambda c: (0, nsup - 1 - c), memory_space=pltpu.VMEM
+        (BT, _SUP), lambda b, c: (b, nsup - 1 - c), memory_space=pltpu.VMEM
     )
     whole = lambda w: pl.BlockSpec(
-        (B, w), lambda c: (0, 0), memory_space=pltpu.VMEM
+        (BT, w), lambda b, c: (b, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         functools.partial(_sweep_kernel, window=window),
-        grid=(nsup,),
+        grid=(nbt, nsup),
         out_shape=(
             jax.ShapeDtypeStruct((B, seglen), jnp.int32),
             jax.ShapeDtypeStruct((B, seglen), jnp.int32),
@@ -303,7 +313,7 @@ def _sweep_tpu(nb, base, uw, pw, nw, pt, nt, pre_far, *, seglen: int,
             spec(), spec(), spec(), spec(), spec(),
         ],
         out_specs=(spec(), spec()),
-        scratch_shapes=[pltpu.VMEM((B, _SUP + window), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((BT, _SUP + window), jnp.int32)],
         interpret=_FORCE_INTERPRET,
     )(nb, base, uw, pw, nw, pt, nt, pre_far)
 
