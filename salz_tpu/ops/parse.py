@@ -352,9 +352,12 @@ def optimal_parse_chunked_batch(
     psv_tgt = jnp.clip(jnp.where(psv_ok, idx + psv_len, cap), 0, cap)
     nsv_tgt = jnp.clip(jnp.where(nsv_ok, idx + nsv_len, cap), 0, cap)
 
+    # window % _SUP == 0 keeps the far path's segcap == WINDOW a multiple of
+    # the sweep kernel's super-chunk (the segment-above-finality argument in
+    # far_branch_pallas needs segcap <= WINDOW; the kernel needs _SUP | segcap).
     use_pallas = (
         jax.default_backend() == "tpu" or _FORCE_INTERPRET
-    ) and cap % _SUP == 0 and window % _C == 0
+    ) and cap % _SUP == 0 and (window % _SUP == 0 or window >= cap)
 
     if use_pallas:
         WINDOW = min(window, cap)
@@ -585,37 +588,25 @@ def optimal_parse_chunked_batch(
         return select_gather(u_f)
 
     def far_branch_pallas(_):
-        """Exact far-edge resolution one SEGMENT at a time, back to front.
+        """Exact far-edge resolution one WINDOW-sized segment at a time.
 
-        All edges point forward, so once the segments above are final, a
-        segment's far contributions gathered from the current u are final
-        except for targets inside the segment itself — those converge in a
-        short intra-segment value iteration (chain depth <= segcap/WINDOW).
-        The old whole-block re-sweeps iterated to the GLOBAL far-chain
-        depth, which collapsed on real text (license corpora repeat every
-        few tens of KiB -> hundreds of chained far edges) and ran single
-        XLA programs long enough to get the TPU worker killed."""
-        SEGS = min(8, cap // _SUP)
-        segcap = cap // SEGS
+        All edges point forward, and a "far" edge's target is >= its
+        sub-chunk end + WINDOW — with segcap == WINDOW that is STRICTLY
+        above the segment end. So sweeping WINDOW-sized segments back to
+        front makes every far contribution final at gather time: one small
+        gather + one sweep per segment, no value iteration anywhere. (The
+        previous version used 8 large segments whose INTRA-segment far
+        chains — license corpora repeat every few tens of KiB — cost
+        hundreds of re-sweeps; before that, whole-block re-sweeps iterated
+        to the global chain depth and ran long enough to get the TPU worker
+        killed.)"""
+        segcap = WINDOW  # = min(window, cap), a multiple of _SUP by contract
+        SEGS = cap // segcap
         ext = cap + 1 + WINDOW
         brow_ext = (jnp.arange(B, dtype=jnp.int32) * ext)[:, None]
         u_ext0 = jnp.concatenate(
             [u, jnp.full((B, WINDOW), _INF, jnp.int32)], axis=1
         )
-
-        def far_pre_seg(u_ext, lo):
-            pt_s = jax.lax.dynamic_slice(psv_tgt, (0, lo), (B, segcap))
-            nt_s = jax.lax.dynamic_slice(nsv_tgt, (0, lo), (B, segcap))
-            pw_s = jax.lax.dynamic_slice(psv_w, (0, lo), (B, segcap))
-            nw_s = jax.lax.dynamic_slice(nsv_w, (0, lo), (B, segcap))
-            pf_s = jax.lax.dynamic_slice(p_far, (0, lo), (B, segcap))
-            nf_s = jax.lax.dynamic_slice(n_far, (0, lo), (B, segcap))
-            q = jnp.concatenate([brow_ext + pt_s, brow_ext + nt_s], axis=1)
-            g = u_ext.reshape(-1)[q]
-            return jnp.minimum(
-                jnp.where(pf_s, pw_s + g[:, :segcap], _INF),
-                jnp.where(nf_s, nw_s + g[:, segcap:], _INF),
-            )
 
         def seg_step(sj, u_ext):
             lo = (SEGS - 1 - sj) * segcap
@@ -624,41 +615,20 @@ def optimal_parse_chunked_batch(
             nw_s = jax.lax.dynamic_slice(nsv_w, (0, lo), (B, segcap))
             pt_s = jax.lax.dynamic_slice(psv_tgt, (0, lo), (B, segcap))
             nt_s = jax.lax.dynamic_slice(nsv_tgt, (0, lo), (B, segcap))
-
-            def one_sweep(ue, pre_s):
-                uw = jax.lax.dynamic_slice(
-                    ue, (0, lo + segcap), (B, WINDOW)
-                )
-                useg, _ = _sweep_tpu(
-                    nb2, basej, uw, pw_s, nw_s, pt_s, nt_s, pre_s,
-                    seglen=segcap, window=WINDOW,
-                )
-                return jax.lax.dynamic_update_slice(ue, useg, (0, lo))
-
-            def improves(pre, ue):
-                cur = jax.lax.dynamic_slice(ue, (0, lo), (B, segcap))
-                return jnp.any(pre < cur)
-
-            # The boundary above changed (later segments just converged),
-            # so one unconditional near-re-relaxation sweep is required.
-            u_ext = one_sweep(u_ext, far_pre_seg(u_ext, lo))
-            pre1 = far_pre_seg(u_ext, lo)
-
-            def wcond(st):
-                _, pre, go, it = st
-                return go & (it < segcap // WINDOW + 3)
-
-            def wbody(st):
-                ue, pre, _, it = st
-                ue = one_sweep(ue, pre)
-                p2 = far_pre_seg(ue, lo)
-                return ue, p2, improves(p2, ue), it + 1
-
-            u_ext, _, _, _ = jax.lax.while_loop(
-                wcond, wbody,
-                (u_ext, pre1, improves(pre1, u_ext), jnp.int32(0)),
+            pf_s = jax.lax.dynamic_slice(p_far, (0, lo), (B, segcap))
+            nf_s = jax.lax.dynamic_slice(n_far, (0, lo), (B, segcap))
+            q = jnp.concatenate([brow_ext + pt_s, brow_ext + nt_s], axis=1)
+            g = u_ext.reshape(-1)[q]
+            pre_s = jnp.minimum(
+                jnp.where(pf_s, pw_s + g[:, :segcap], _INF),
+                jnp.where(nf_s, nw_s + g[:, segcap:], _INF),
             )
-            return u_ext
+            uw = jax.lax.dynamic_slice(u_ext, (0, lo + segcap), (B, WINDOW))
+            useg, _ = _sweep_tpu(
+                nb2, basej, uw, pw_s, nw_s, pt_s, nt_s, pre_s,
+                seglen=segcap, window=WINDOW,
+            )
+            return jax.lax.dynamic_update_slice(u_ext, useg, (0, lo))
 
         u_ext = jax.lax.fori_loop(0, SEGS, seg_step, u_ext0)
         return select_gather(u_ext[:, : cap + 1])
