@@ -41,6 +41,12 @@ def main() -> int:
         help="also encode with the native scalar oracle and require "
              "byte-identical container output",
     )
+    ap.add_argument(
+        "--steady", action="store_true",
+        help="encode each (file, level) twice and report the second pass as "
+             "compress_s (the first pass, which pays jit compilation on the "
+             "jax engine, is reported as first_compress_s)",
+    )
     ap.add_argument("files", nargs="+")
     args = ap.parse_args()
 
@@ -67,6 +73,17 @@ def main() -> int:
                 continue
             t_enc = time.perf_counter() - t0
             payload = enc.getvalue()
+
+            t_first = None
+            if args.steady:
+                t_first = t_enc
+                enc2 = io.BytesIO()
+                t0 = time.perf_counter()
+                container.compress_stream(
+                    io.BytesIO(data), enc2, block_size, codec
+                )
+                t_enc = time.perf_counter() - t0
+                assert enc2.getvalue() == payload, "non-deterministic encode"
 
             dec = io.BytesIO()
             t0 = time.perf_counter()
@@ -98,6 +115,10 @@ def main() -> int:
                 "ratio": round(len(data) / len(payload), 4),
                 "compress_s": round(t_enc, 4),
                 "compress_MB_s": round(len(data) / t_enc / 1e6, 3),
+                **(
+                    {"first_compress_s": round(t_first, 4)}
+                    if t_first is not None else {}
+                ),
                 "decompress_s": round(t_dec, 4),
                 "decompress_MB_s": round(len(data) / t_dec / 1e6, 3),
                 "roundtrip": "ok" if ok else "MISMATCH",
