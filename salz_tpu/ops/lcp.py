@@ -633,45 +633,65 @@ def candidate_lengths_slot_batch(
             .reshape(B, cap)
         )
 
-    def bucket(M: int):
+    def bucket_p(M: int):
         def path(_):
             mid = jnp.arange(M, dtype=jnp.int32)[None, :]
             vp = mid < cnt_p[:, None]
-            vn = mid < cnt_n[:, None]
             qpM, qloM = get_pq(M)
-            qnM, qhiM = get_nq(M)
             rp = _crossing_rangemin(
                 suf, pre, rowtab, LR, qloM, qpM, vp, cap=cap
             )
-            rn = _crossing_rangemin(
-                suf, pre, rowtab, LR, qnM + 1, qhiM, vn, cap=cap
-            )
-            out_p = scat(psv_in, vp, qpM, rp)
-            out_n = scat(nsv_in, vn, qnM, rn)
-            return out_p, out_n
+            return scat(psv_in, vp, qpM, rp)
 
         return path
 
-    def full(_):
+    def bucket_n(M: int):
+        def path(_):
+            mid = jnp.arange(M, dtype=jnp.int32)[None, :]
+            vn = mid < cnt_n[:, None]
+            qnM, qhiM = get_nq(M)
+            rn = _crossing_rangemin(
+                suf, pre, rowtab, LR, qnM + 1, qhiM, vn, cap=cap
+            )
+            return scat(nsv_in, vn, qnM, rn)
+
+        return path
+
+    def full_p(_):
         rp = _crossing_rangemin(
             suf, pre, rowtab, LR, lslot + 1, slot_iota, cross_p, cap=cap
         )
+        return jnp.where(cross_p, rp, psv_in)
+
+    def full_n(_):
         rn = _crossing_rangemin(
             suf, pre, rowtab, LR, slot_iota + 1, rslot, cross_n, cap=cap
         )
-        out_p = jnp.where(cross_p, rp, psv_in)
-        out_n = jnp.where(cross_n, rn, nsv_in)
-        return out_p, out_n
+        return jnp.where(cross_n, rn, nsv_in)
 
+    # Per-side rung ladders (a shared ladder let one skewed block drag BOTH
+    # sides full-width — the crossing load on real corpora is 1-7% per side
+    # and the sides are independent).
     M1 = max(cap // 64, 512)
     M2 = max(cap // 16, 1024)
-    maxc = jnp.maximum(jnp.max(cnt_p), jnp.max(cnt_n))
-    psv_len, nsv_len = jax.lax.cond(
-        maxc <= M1,
-        bucket(M1),
-        lambda _: jax.lax.cond(maxc <= M2, bucket(M2), full, 0),
-        0,
-    )
+    M3 = max(cap // 4, 2048)
+
+    def ladder(cnt, bucket, full):
+        maxc = jnp.max(cnt)
+        return jax.lax.cond(
+            maxc <= M1,
+            bucket(M1),
+            lambda _: jax.lax.cond(
+                maxc <= M2,
+                bucket(M2),
+                lambda _: jax.lax.cond(maxc <= M3, bucket(M3), full, 0),
+                0,
+            ),
+            0,
+        )
+
+    psv_len = ladder(cnt_p, bucket_p, full_p)
+    nsv_len = ladder(cnt_n, bucket_n, full_n)
     psv_len = jnp.where(lslot >= 0, psv_len, 0)
     nsv_len = jnp.where(rslot >= 0, nsv_len, 0)
     return psv_len, nsv_len

@@ -49,6 +49,8 @@ _INT_INF = 2**28  # plain-int twin for Pallas kernels (no captured consts)
 _SUP = 2048  # positions per grid step
 _C = 128  # sub-chunk width = lane count
 _K = _SUP // _C
+_KF = 128  # far-target slots (one lane row): max far-RUNS per block for the
+# in-kernel far path; real corpora measure 10-24 runs/block (license text)
 
 #: test hook: force the Pallas sweep path in interpret mode on CPU
 _FORCE_INTERPRET = False
@@ -133,7 +135,7 @@ def _shift_left_lane(a, h, fill):
 
 def _sweep_kernel(
     nb_ref, base_ref, uw_ref, pw_ref, nw_ref, pt_ref, nt_ref, far_ref,
-    out_ref, choice_ref, S, *, window: int
+    tgt_ref, pk_ref, nk_ref, out_ref, choice_ref, S, UT, *, window: int
 ):
     """One backward sweep over a SEGMENT of positions; see module docstring.
 
@@ -151,7 +153,21 @@ def _sweep_kernel(
     1 PSV, 2 NSV) computed from the CONVERGED u values while they are still
     in VMEM — the selection gathers cost ~3x the whole sweep when done as
     XLA full-size random gathers afterwards. Only exact when far_ref is all
-    INF (no factor longer than `window`); the far path re-selects outside.
+    INF (no frozen far contributions); the segment path re-selects outside.
+
+    FAR EDGES, in-kernel (the round-3 change): factor edges longer than
+    `window` always land STRICTLY above their super-chunk (target >=
+    sub-chunk end + window > super-chunk end), i.e. in a region this
+    back-to-front sweep has already finished. On real corpora far edges come
+    in runs sharing ONE target each (a maximal repeat: len decreases by 1
+    per position, so p + len is constant) — 10-24 runs per 1 MiB block on
+    license text. So the caller compacts the run-head targets into tgt_ref
+    (B, _KF) and labels every far source with its run id (pk_ref/nk_ref,
+    -1 = not far). The kernel keeps u AT THOSE TARGETS in the UT scratch —
+    refreshed as each super-chunk is finished — and far contributions become
+    one 128-lane take_along_axis per side. This replaced a 512-step
+    sequential segmented re-sweep (one pallas dispatch per WINDOW segment)
+    that cost ~6x the whole near sweep on license-style text.
 
     The grid is (batch_tiles, nsup): batch rows are independent, so large
     batches (small caps auto-batch up to 256 lanes) are tiled to keep the
@@ -167,12 +183,18 @@ def _sweep_kernel(
     @pl.when(c == 0)
     def _init():
         S[:, _SUP:] = uw_ref[:]
+        UT[:] = jnp.full(UT.shape, _INT_INF, jnp.int32)
 
     pw = pw_ref[:]
     nw = nw_ref[:]
     pt = pt_ref[:]
     nt = nt_ref[:]
     far = far_ref[:]
+    pk = pk_ref[:]
+    nk = nk_ref[:]
+    # u at the far-run targets: all strictly above this super-chunk, hence
+    # final (updated when their super-chunk finished).
+    ut = UT[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, _C), 1)
 
     def wgather(win, j):
@@ -205,8 +227,19 @@ def _sweep_kernel(
         n_near = (dn >= 0) & (dn < window)
         gp = wgather(win, jnp.clip(dp, 0, window - 1))
         gn = wgather(win, jnp.clip(dn, 0, window - 1))
-        pre_p = jnp.where(p_near, pwl + gp, _INT_INF)
-        pre_n = jnp.where(n_near, nwl + gn, _INT_INF)
+        # Far edges (target >= hi + window): u at the run target, from UT.
+        pkl = pk[:, sl]
+        nkl = nk[:, sl]
+        gpt = jnp.take_along_axis(ut, jnp.clip(pkl, 0, _KF - 1), axis=1)
+        gnt = jnp.take_along_axis(ut, jnp.clip(nkl, 0, _KF - 1), axis=1)
+        pre_p = jnp.minimum(
+            jnp.where(p_near, pwl + gp, _INT_INF),
+            jnp.where(pkl >= 0, pwl + gpt, _INT_INF),
+        )
+        pre_n = jnp.minimum(
+            jnp.where(n_near, nwl + gn, _INT_INF),
+            jnp.where(nkl >= 0, nwl + gnt, _INT_INF),
+        )
         pre = jnp.minimum(jnp.minimum(pre_p, pre_n), far[:, sl])
 
         # In-row edges (strictly below hi; t == hi is a crossing edge above).
@@ -269,14 +302,35 @@ def _sweep_kernel(
         choice_ref[:, sl] = jnp.where(act, ch, 0)
 
     out_ref[:] = S[:, :_SUP]
+
+    # Refresh u at any far-run targets that live in the super-chunk just
+    # finished (they are only ever READ by later, i.e. earlier-in-text,
+    # super-chunks: a far target is > its source's super-chunk end).
+    tgt = tgt_ref[:]  # (B, _KF) global positions, -1 = unused slot
+    j = tgt - (base + lo_s)
+    upd = (j >= 0) & (j < _SUP)
+    jl = jnp.clip(j, 0, _SUP - 1)
+    g = jnp.full(tgt.shape, _INT_INF, jnp.int32)
+    for wt in range(_K):
+        cand = jnp.take_along_axis(
+            S[:, _C * wt : _C * (wt + 1)],
+            jnp.clip(jl - _C * wt, 0, _C - 1),
+            axis=1,
+        )
+        g = jnp.where((jl >> 7) == wt, cand, g)
+    UT[:] = jnp.where(upd, g, ut)
+
     # Shift the window for the next (earlier) super-chunk.
     tail = S[:, :window]
     S[:, _SUP : _SUP + window] = tail
 
 
-def _sweep_tpu(nb, base, uw, pw, nw, pt, nt, pre_far, *, seglen: int,
-               window: int):
-    """Sweep one segment [base, base + seglen) given final values uw above."""
+def _sweep_tpu(nb, base, uw, pw, nw, pt, nt, pre_far, tgt, pkidx, nkidx, *,
+               seglen: int, window: int):
+    """Sweep one segment [base, base + seglen) given final values uw above.
+
+    tgt (B, _KF) / pkidx / nkidx (B, seglen) drive the in-kernel far path;
+    pass tgt = -1 and kidx = -1 to disable it (segment-path calls)."""
     B = pw.shape[0]
     if B == 1:
         # Mosaic refuses the kernel's lane-gathers (take_along_axis) on
@@ -284,9 +338,11 @@ def _sweep_tpu(nb, base, uw, pw, nw, pt, nt, pre_far, *, seglen: int,
         # 8 sublanes anyway, so the dummy lane (nb = 0 -> everything inactive)
         # is essentially free.
         pad2 = lambda a: jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
+        padm = lambda a: jnp.concatenate([a, jnp.full_like(a, -1)], axis=0)
         u, choice = _sweep_tpu(
             pad2(nb), pad2(base), pad2(uw), pad2(pw), pad2(nw), pad2(pt),
-            pad2(nt), pad2(pre_far), seglen=seglen, window=window,
+            pad2(nt), pad2(pre_far), padm(tgt), padm(pkidx), padm(nkidx),
+            seglen=seglen, window=window,
         )
         return u[:1], choice[:1]
     nsup = seglen // _SUP
@@ -311,11 +367,15 @@ def _sweep_tpu(nb, base, uw, pw, nw, pt, nt, pre_far, *, seglen: int,
         in_specs=[
             whole(1), whole(1), whole(window),
             spec(), spec(), spec(), spec(), spec(),
+            whole(_KF), spec(), spec(),
         ],
         out_specs=(spec(), spec()),
-        scratch_shapes=[pltpu.VMEM((BT, _SUP + window), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((BT, _SUP + window), jnp.int32),
+            pltpu.VMEM((BT, _KF), jnp.int32),
+        ],
         interpret=_FORCE_INTERPRET,
-    )(nb, base, uw, pw, nw, pt, nt, pre_far)
+    )(nb, base, uw, pw, nw, pt, nt, pre_far, tgt, pkidx, nkidx)
 
 
 # ---------------------------------------------------------------------------
@@ -366,10 +426,10 @@ def optimal_parse_chunked_batch(
         # u just above the whole block: u[cap] = 0, fictional beyond.
         uw_top = jnp.full((B, WINDOW), _INF, jnp.int32).at[:, :1].set(0)
 
-        def sweep(pre_far, _unused):
+        def sweep(pre_far, tgt, pkidx, nkidx):
             u_main, choice = _sweep_tpu(
                 nb2, base0, uw_top, psv_w, nsv_w, psv_tgt, nsv_tgt, pre_far,
-                seglen=cap, window=WINDOW,
+                tgt, pkidx, nkidx, seglen=cap, window=WINDOW,
             )
             return (
                 jnp.concatenate(
@@ -487,7 +547,64 @@ def optimal_parse_chunked_batch(
 
     pre_far0 = jnp.full((B, cap), _INF, jnp.int32) + (psv_w - psv_w)
     if use_pallas:
-        u, choice = sweep(pre_far0, None)
+        # ---- in-kernel far path prep: label far sources with their run id
+        # and compact the run-head targets (a run = consecutive positions
+        # whose far edge shares one target — a maximal repeat). The two
+        # compaction sorts only run when far edges exist at all.
+        p_far, n_far = far_mask()
+        any_far = jnp.any(p_far | n_far)
+
+        def _run_heads(farm, tgt):
+            tv = jnp.where(farm, tgt, -7)
+            prev = jnp.concatenate(
+                [jnp.full((B, 1), -8, jnp.int32), tv[:, :-1]], axis=1
+            )
+            return farm & (tv != prev)
+
+        ptgt_a = idx + psv_len
+        ntgt_a = idx + nsv_len
+        hp = _run_heads(p_far, ptgt_a)
+        hn = _run_heads(n_far, ntgt_a)
+        rp = jnp.sum(hp.astype(jnp.int32), axis=1)
+        rn = jnp.sum(hn.astype(jnp.int32), axis=1)
+        fits = jnp.max(rp + rn) <= _KF
+        use_kidx = any_far & fits
+        slot_iota_f = jnp.broadcast_to(idx, (B, cap)) + (psv_w - psv_w)
+        flagbit = jnp.int32(1 << 26)
+
+        def _prep(_):
+            _, plist = jax.lax.sort(
+                (jnp.where(hp, slot_iota_f, slot_iota_f | flagbit), ptgt_a),
+                num_keys=1, dimension=1,
+            )
+            _, nlist = jax.lax.sort(
+                (jnp.where(hn, slot_iota_f, slot_iota_f | flagbit), ntgt_a),
+                num_keys=1, dimension=1,
+            )
+            kf = jnp.arange(_KF, dtype=jnp.int32)[None, :]
+            from_n = jnp.take_along_axis(
+                nlist[:, :_KF], jnp.clip(kf - rp[:, None], 0, _KF - 1), axis=1
+            )
+            tgt_list = jnp.where(
+                kf < rp[:, None],
+                plist[:, :_KF],
+                jnp.where(kf < (rp + rn)[:, None], from_n, -1),
+            )
+            ridp = jnp.cumsum(hp.astype(jnp.int32), axis=1) - 1
+            ridn = jnp.cumsum(hn.astype(jnp.int32), axis=1) - 1
+            kidx_p = jnp.where(p_far, ridp, -1)
+            kidx_n = jnp.where(n_far, rp[:, None] + ridn, -1)
+            return tgt_list, kidx_p, kidx_n
+
+        def _noprep(_):
+            return (
+                jnp.full((B, _KF), -1, jnp.int32),
+                jnp.full((B, cap), -1, jnp.int32),
+                jnp.full((B, cap), -1, jnp.int32),
+            )
+
+        tgt_list, kidx_p, kidx_n = jax.lax.cond(use_kidx, _prep, _noprep, 0)
+        u, choice = sweep(pre_far0, tgt_list, kidx_p, kidx_n)
     else:
         u = sweep(pre_far0, None)
         choice = None
@@ -545,16 +662,17 @@ def optimal_parse_chunked_batch(
             return select_from_choice(u, choice)
         return select_gather(u)
 
-    # Ultra-far edges (factor length > WINDOW): exact asynchronous value
-    # iteration — recompute far contributions against the latest u and
-    # re-sweep until no far edge improves any position. u decreases
-    # monotonically and every sweep fully relaxes all near edges, so the
-    # loop terminates at the exact DP fixpoint. The whole branch (incl. the
-    # 2x full-size far_pre gathers and the gather selection) sits under ONE
-    # batch-level lax.cond: it needs a repeat longer than WINDOW to run at
-    # all, and the gathers cost ~3x the sweep kernel itself.
-    p_far, n_far = far_mask()
-    any_far = jnp.any(p_far | n_far)
+    # Ultra-far edges (factor length > WINDOW): the pallas path has already
+    # resolved them in-kernel when the run-head targets fit _KF slots
+    # (use_kidx); the segmented re-sweep below remains as the exact fallback
+    # for adversarial inputs with more than _KF far runs. The XLA path uses
+    # asynchronous value iteration — recompute far contributions against the
+    # latest u and re-sweep until no far edge improves any position (u
+    # decreases monotonically and every sweep fully relaxes all near edges,
+    # so the loop terminates at the exact DP fixpoint).
+    if not use_pallas:
+        p_far, n_far = far_mask()
+        any_far = jnp.any(p_far | n_far)
 
     def far_branch(_):
         """Whole-block value iteration (backend-generic XLA path)."""
@@ -626,6 +744,9 @@ def optimal_parse_chunked_batch(
             uw = jax.lax.dynamic_slice(u_ext, (0, lo + segcap), (B, WINDOW))
             useg, _ = _sweep_tpu(
                 nb2, basej, uw, pw_s, nw_s, pt_s, nt_s, pre_s,
+                jnp.full((B, _KF), -1, jnp.int32),
+                jnp.full((B, segcap), -1, jnp.int32),
+                jnp.full((B, segcap), -1, jnp.int32),
                 seglen=segcap, window=WINDOW,
             )
             return jax.lax.dynamic_update_slice(u_ext, useg, (0, lo))
@@ -639,7 +760,11 @@ def optimal_parse_chunked_batch(
         return select_gather(u)
 
     if use_pallas:
-        return jax.lax.cond(any_far, far_branch_pallas, near_branch, 0)
+        # Far edges were handled in-kernel unless the run count overflowed
+        # _KF (use_kidx False with far edges present) — only then re-sweep.
+        return jax.lax.cond(
+            any_far & ~fits, far_branch_pallas, near_branch, 0
+        )
     return jax.lax.cond(any_far, far_branch, near_branch, 0)
 
 
