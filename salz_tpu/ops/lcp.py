@@ -70,7 +70,8 @@ def pair_lcp(
     """LCP of suffix pairs (i[k], j[k]) of text[:n].
 
     Args:
-      ckpt: int32[ckpt_rows, cap] rank checkpoints, row r = level r+4
+      ckpt: int32[ckpt_rows, cap] rank-checkpoint ladder, row r = prefix
+            16*4^r
             (suffix_array_with_ranks output).
       t32: int32[4, cap] packed text windows +0..3 .. +12..15
             (suffix_array_prefixes output).
@@ -83,14 +84,17 @@ def pair_lcp(
     iv = jnp.clip(i, 0, cap - 1)
     jv = jnp.clip(j, 0, cap - 1)
     l = jnp.zeros(i.shape, jnp.int32)
+    # Radix-4 ladder: row r holds ranks of the 16*4^r-prefix, so each row
+    # is probed up to THREE times (remainder after the row above is < 4h).
     for r in range(rows - 1, -1, -1):
-        h = jnp.int32(1 << (r + 4))
-        a = iv + l
-        b = jv + l
-        fits = (a + h <= n) & (b + h <= n)
-        ra = ckpt[r][jnp.clip(a, 0, cap - 1)]
-        rb = ckpt[r][jnp.clip(b, 0, cap - 1)]
-        l = jnp.where(valid & fits & (ra == rb), l + h, l)
+        h = jnp.int32(1 << (2 * r + 4))
+        for _ in range(3):
+            a = iv + l
+            b = jv + l
+            fits = (a + h <= n) & (b + h <= n)
+            ra = ckpt[r][jnp.clip(a, 0, cap - 1)]
+            rb = ckpt[r][jnp.clip(b, 0, cap - 1)]
+            l = jnp.where(valid & fits & (ra == rb), l + h, l)
     # Resolve the sub-16-byte remainder by direct text probes.
     tail = _tail16(
         t32.reshape(4, -1), jnp.full((1, 1), n, jnp.int32),
@@ -110,33 +114,38 @@ def _match32(x, y):
     return jnp.minimum(jax.lax.clz(x ^ y) >> 3, 4)  # clz(0) = 32 -> 4
 
 
-def _descend_dynamic(ckpt, jmax, nb, vrow, a, b, l0, vmask, *, cap: int):
-    """Exact checkpoint descent with a DYNAMIC top level: for lev from
-    jmax-1 down to 4, add 2^lev when ranks at (a+l, b+l) agree. The trip
-    count adapts to the data (jmax = highest filled level), so blocks with
-    short repeats never pay for high-level probes. Resolves any remaining
-    match < 2^jmax down to a remainder < 16 (finish with _tail16)."""
+def _descend_ladder(ckpt, rmax, nb, vrow, a, b, l0, vmask, *, cap: int):
+    """Exact radix-4 checkpoint-ladder descent with a DYNAMIC top row: for
+    row r from rmax-2 down to 0, add h = 16*4^r up to THREE times while the
+    ranks at (a+l, b+l) agree (the remainder entering row r is < 4h because
+    the row above failed or does not exist; 3h + lower rows cover it). The
+    trip count adapts to the data (rmax = filled-row count; the top filled
+    row is all-distinct so any match is < its prefix length). Resolves down
+    to a remainder < 16 (finish with _tail16)."""
     B, m = a.shape
 
     def body(t, l):
-        lev = jmax - 1 - t
-        # Stored checkpoint row r holds level r+4 (levels 0-3 are not
-        # stored; the sub-16 remainder is resolved by _tail16 text probes).
+        r = rmax - 2 - t
         tab = jax.lax.dynamic_slice(
-            ckpt, (0, lev - 4, 0), (B, 1, ckpt.shape[2])
+            ckpt, (0, r, 0), (B, 1, ckpt.shape[2])
         ).reshape(-1)
-        h = jnp.int32(1) << lev
-        ai = a + l
-        bi = b + l
-        fits = vmask & (ai + h <= nb) & (bi + h <= nb)
-        q = jnp.concatenate(
-            [vrow + jnp.clip(ai, 0, cap - 1), vrow + jnp.clip(bi, 0, cap - 1)],
-            axis=1,
-        )
-        g = tab[q]
-        return jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
+        h = jnp.int32(1) << (2 * r + 4)
+        for _ in range(3):
+            ai = a + l
+            bi = b + l
+            fits = vmask & (ai + h <= nb) & (bi + h <= nb)
+            q = jnp.concatenate(
+                [
+                    vrow + jnp.clip(ai, 0, cap - 1),
+                    vrow + jnp.clip(bi, 0, cap - 1),
+                ],
+                axis=1,
+            )
+            g = tab[q]
+            l = jnp.where(fits & (g[:, :m] == g[:, m:]), l + h, l)
+        return l
 
-    return jax.lax.fori_loop(0, jnp.maximum(jmax - 4, 0), body, l0)
+    return jax.lax.fori_loop(0, jnp.maximum(rmax - 1, 0), body, l0)
 
 
 def _tail16(t32f, nb, vrow, a, b, l, vmask, *, cap: int):
@@ -178,13 +187,14 @@ def adjacent_lcp_batch(
     Pairs with LCP < 32 are resolved by shifted-slice compares of the carried
     32-byte prefixes — zero gathers. Survivors are compacted into a static
     bucket (two sizes, cond on the count) and run ONE exact dynamic-depth
-    checkpoint descent: the top level is max(n_levels)-1, whose ranks are
-    all-distinct, so any match < 2^top resolves exactly — no saturation or
-    escalation machinery. An 8-byte text probe finishes the sub-8 remainder.
+    ladder descent: the top filled row's ranks are all-distinct, so any
+    match is below its prefix length and resolves exactly — no saturation
+    or escalation machinery. A 16-byte text probe finishes the remainder.
 
     Args:
-      ckpt: int32[B, L, cap] rank checkpoints.
-      n_levels: int32[B] filled level counts.
+      ckpt: int32[B, R, cap] radix-4 rank-checkpoint ladder (row r =
+        prefix 16*4^r).
+      n_levels: int32[B] filled ladder-row counts.
       sa: int32[B, cap] suffix arrays.
       t32: int32[B, 2, cap] text-order packed byte windows (+0..3 / +4..7).
       p32: int32[B, 8, cap] slot-order packed 32-byte suffix prefixes.
@@ -194,7 +204,7 @@ def adjacent_lcp_batch(
     nb = n[:, None]
     vrow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
     t32f = t32.transpose(1, 0, 2).reshape(4, -1)
-    jmax = jnp.max(n_levels) - 1  # top filled level: ranks all-distinct
+    rmax = jnp.max(n_levels)  # filled rows; top filled row all-distinct
 
     a_base = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), sa[:, :-1]], axis=1)
     b_base = sa
@@ -224,7 +234,7 @@ def adjacent_lcp_batch(
 
     def _resolve(qa, qb, vmask):
         l0 = jnp.where(vmask, jnp.full(qa.shape, 32, jnp.int32), 0)
-        l1 = _descend_dynamic(ckpt, jmax, nb, vrow, qa, qb, l0, vmask, cap=cap)
+        l1 = _descend_ladder(ckpt, rmax, nb, vrow, qa, qb, l0, vmask, cap=cap)
         return l1 + _tail16(t32f, nb, vrow, qa, qb, l1, vmask, cap=cap)
 
     def tiny_path(_):

@@ -9,17 +9,22 @@ TPU-parallel replacement for the reference's sequential seeded LCP scan
 
 TPU-cost-model tricks (PERFORMANCE.md):
 
-* The first FOUR doubling rounds are fused into one 6-key sort over packed
+* The first FOUR doubling levels are fused into one 6-key sort over packed
   9-bit byte symbols (16 bytes per position), saving three sort+invert rounds.
+* RADIX-4 rounds: each subsequent round sorts FOUR rank keys (r@i, r@i+m,
+  r@i+2m, r@i+3m), quadrupling the resolved prefix per round. Measured on
+  v5e, a 4-key sort costs only ~1.35x a 2-key sort, so two doubling levels
+  per round cut the full-width phase ~40% — decisive on long-repeat corpora
+  where the active set stays large through level 15+ (license text measured
+  30-80% active at level 15; see BIGCAP_TPU.md).
 * Ranks are HEAD-INDEX ranks (the rank of a suffix is the SA slot of the
   first member of its equal-prefix group), not dense ranks. Equality is all
-  the LCP descent needs, and head-index ranks make doubling rounds IDEMPOTENT
+  the LCP descent needs, and head-index ranks make rounds IDEMPOTENT
   for already-resolved suffixes — which enables the active-set phase below.
-* Two-phase doubling: rounds run at full width only while the active set
+* Two-phase processing: rounds run at full width only while the active set
   (suffixes in non-singleton rank groups) is large. Once it fits a static
-  cap/8 rung (measured: after ONE round on text/binary corpora the active
-  fraction is 0.3-6%), rounds sort only the compacted active set — two
-  narrow sorts + one narrow scatter instead of two full-width sorts.
+  cap/8 rung, rounds sort only the compacted active set — two narrow sorts
+  + three narrow gathers + one narrow scatter instead of two full sorts.
 * The final rank->SA inversion sort carries the packed 8/16-byte text
   prefixes of every suffix as payloads, so downstream adjacent-suffix
   comparisons (the LCP stage) get the first 16 bytes of both suffixes from
@@ -41,18 +46,17 @@ import jax.numpy as jnp
 _BIG = jnp.int32(1 << 26)  # sorts-last flag; ranks/positions < 2^24 <= cap
 
 
-def num_levels(cap: int) -> int:
-    """Number of doubling levels for a text buffer of size cap (>= 1)."""
-    return max(1, (cap - 1).bit_length()) + 1
-
-
 def ckpt_rows(cap: int) -> int:
-    """Rows of the stored checkpoint stack: levels 4..L-1 only (row r =
-    level r+4). Levels 0-3 are never probed — the LCP descent stops at
-    level 4 and finishes with a 16-byte text probe (ops/lcp.py) — so not
-    storing them saves 4*cap*4 bytes per block lane (16 B/input byte),
-    which is what makes level 8-9 blocks fit on one chip (VERDICT.md §2)."""
-    return max(num_levels(cap) - 4, 1)
+    """Rows of the stored checkpoint ladder: row r holds head-index ranks of
+    the prefix of length 16 * 4^r (= 2^(2r+4)); the top row's prefix covers
+    >= cap, so its ranks are all-distinct whenever it was filled. Radix-4
+    rows (even levels only) halve checkpoint memory vs one row per doubling
+    level (16 B/input-byte at 1 MiB blocks) — the LCP descent compensates
+    with up to THREE probes per row (ops/lcp.py ladder descent); sub-16
+    remainders finish with a 16-byte text probe, so levels 0-3 are never
+    stored."""
+    bl = max((cap - 1).bit_length(), 4)
+    return (bl - 4 + 1) // 2 + 1
 
 
 def packed_prefixes(text: jax.Array, n: jax.Array, *, cap: int):
@@ -108,18 +112,18 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
       sa:   int32[B, cap] — sa[b, :ns[b]] is the suffix array of block b; the
             padded tail holds the sentinel suffixes in index order.
       ckpt: int32[B, ckpt_rows(cap), cap] — ckpt[b, r] is an
-            equality-preserving rank of text[i : i+2^(r+4)] (truncated at n).
+            equality-preserving rank of text[i : i+16*4^r] (truncated at n).
             Ranks are HEAD-INDEX ranks; only equality is meaningful.
-            Levels that were not reached hold all-distinct values, so
+            Rows that were not reached hold all-distinct values, so
             equality tests there are vacuously false.
-      n_levels: int32[B] — levels filled per block (informational; the LCP
-            descent tops out at max(n_levels) - 1).
+      n_rows: int32[B] — ladder rows filled per block (informational; the
+            LCP descent tops out at max(n_rows) - 1).
       t32:  int32[B, 4, cap] — text-order packed bytes i..i+3 / .. / +12..+15.
       p32:  int32[B, 8, cap] — SLOT-order packed prefixes: p32[b, j, k] =
             bytes sa[k]+4j .. sa[k]+4j+3.
     """
     B = blocks.shape[0]
-    L = num_levels(cap)
+    R = ckpt_rows(cap)
     idx1 = jnp.arange(cap, dtype=jnp.int32)
     idx = jnp.broadcast_to(idx1[None, :], (B, cap))
     nb = ns[:, None]
@@ -162,34 +166,48 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
         (perm, rank_s, act_s.astype(jnp.int32)), num_keys=1, dimension=1
     )
 
-    rows = ckpt_rows(cap)
-    ckpt0 = jnp.broadcast_to(idx1[None, None, :], (B, rows, cap))
+    ckpt0 = jnp.broadcast_to(idx1[None, None, :], (B, R, cap))
     ckpt0 = jax.lax.dynamic_update_slice(
         ckpt0, rank16[:, None, :], (0, 0, 0)
-    )  # row 0 = level 4 = 16-byte ranks
+    )  # row 0 = 16-byte ranks
 
     mrow0 = jnp.sum(act16, axis=1)
-    lvl0 = jnp.where(mrow0 == 0, jnp.int32(5), jnp.int32(0))
+    rows0 = jnp.where(mrow0 == 0, jnp.int32(1), jnp.int32(0))
 
     M = min(cap, max(cap // 8, 512))  # compacted-phase rung
     # phase 1 runs down to the rung, or (tiny caps, M == cap) to completion
     thresh = M if M < cap else 0
 
-    # ---------------- phase 1: full-width rounds while max active > M ------
-    def full_body(state):
-        rank, ckpt, act, mrow, lvl_out, level = state
-        h = jnp.int32(1) << (level - 1)
+    def _shifted_rank(rank, h):
+        """rank[i + h] in text order (-1 past n), h dynamic up to 3*cap."""
         wide_r = jnp.concatenate([rank, jnp.full((B, cap), -1, jnp.int32)], 1)
-        rank2 = jax.lax.dynamic_slice(wide_r, (0, h), (B, cap))
-        rank2 = jnp.where(idx + h < nb, rank2, jnp.int32(-1))
-        k1, k2, perm = jax.lax.sort((rank, rank2, idx), num_keys=2, dimension=1)
-        head = jnp.concatenate(
-            [
-                jnp.ones((B, 1), jnp.bool_),
-                (k1[:, 1:] != k1[:, :-1]) | (k2[:, 1:] != k2[:, :-1]),
-            ],
-            axis=1,
+        r2 = jax.lax.dynamic_slice(
+            wide_r, (0, jnp.minimum(h, jnp.int32(cap))), (B, cap)
         )
+        return jnp.where(idx + h < nb, r2, jnp.int32(-1))
+
+    # ------- phase 1: full-width radix-4 rounds while max active > M -------
+    # Round rd (rd >= 1) starts from ranks of prefix m = 4^rd * 4 = 2^(2rd+2)
+    # and sorts (r@i, r@i+m, r@i+2m, r@i+3m): lexicographic comparison of
+    # head-index ranks of the m-prefixes IS comparison of the 4m-prefix
+    # (with -1 sentinels ordering truncated suffixes first). Result: ckpt
+    # row rd = ranks of prefix 4m.
+    def full_body(state):
+        rank, ckpt, act, mrow, rows_out, rd = state
+        m = jnp.int32(1) << (2 * rd + 2)
+        r2 = _shifted_rank(rank, m)
+        r3 = _shifted_rank(rank, 2 * m)
+        r4 = _shifted_rank(rank, 3 * m)
+        k1, k2, k3, k4, perm = jax.lax.sort(
+            (rank, r2, r3, r4, idx), num_keys=4, dimension=1
+        )
+        diff = (
+            (k1[:, 1:] != k1[:, :-1])
+            | (k2[:, 1:] != k2[:, :-1])
+            | (k3[:, 1:] != k3[:, :-1])
+            | (k4[:, 1:] != k4[:, :-1])
+        )
+        head = jnp.concatenate([jnp.ones((B, 1), jnp.bool_), diff], axis=1)
         new_rank_s = _heads_to_rank(head)
         nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
         act_srt = ~(head & nxt)
@@ -200,18 +218,19 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
             dimension=1,
         )
         ckpt = jax.lax.dynamic_update_slice(
-            ckpt, new_rank[:, None, :], (0, level - 4, 0)
+            ckpt, new_rank[:, None, :], (0, rd, 0)
         )
         mrow_new = jnp.sum(act_new, axis=1)
-        lvl_out = jnp.where((mrow > 0) & (mrow_new == 0), level + 1, lvl_out)
-        return new_rank, ckpt, act_new, mrow_new, lvl_out, level + 1
+        rows_out = jnp.where((mrow > 0) & (mrow_new == 0), rd + 1, rows_out)
+        return new_rank, ckpt, act_new, mrow_new, rows_out, rd + 1
 
     def full_cond(state):
-        _, _, _, mrow, _, level = state
-        return (jnp.max(mrow) > thresh) & (level < L)
+        _, _, _, mrow, _, rd = state
+        return (jnp.max(mrow) > thresh) & (rd < R)
 
-    rank, ckpt, act, mrow, lvl_out, level = jax.lax.while_loop(
-        full_cond, full_body, (rank16, ckpt0, act16, mrow0, lvl0, jnp.int32(5))
+    rank, ckpt, act, mrow, rows_out, rd = jax.lax.while_loop(
+        full_cond, full_body,
+        (rank16, ckpt0, act16, mrow0, rows0, jnp.int32(1)),
     )
 
     # ---------------- phase 2: compacted rounds at rung M -------------------
@@ -227,21 +246,33 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
         bbM = bbase  # (B, 1)
 
         def comp_body(state):
-            rank, ckpt, apos, ra, mrow, lvl_out, level = state
-            h = jnp.int32(1) << (level - 1)
+            rank, ckpt, apos, ra, mrow, rows_out, rd = state
+            m = jnp.int32(1) << (2 * rd + 2)
             valid = col < mrow[:, None]
-            pos2 = apos + h
-            r2 = rank.reshape(-1)[(bbM + jnp.clip(pos2, 0, cap - 1)).reshape(B, M)]
-            r2 = jnp.where(valid & (pos2 < nb), r2, jnp.int32(-1))
+            rankf = rank.reshape(-1)
+
+            def rgat(h):
+                pos2 = apos + h
+                r = rankf[(bbM + jnp.clip(pos2, 0, cap - 1)).reshape(B, M)]
+                return jnp.where(valid & (pos2 < nb), r, jnp.int32(-1))
+
+            r2 = rgat(m)
+            r3 = rgat(2 * m)
+            r4 = rgat(3 * m)
             ra_in = jnp.where(valid, ra, _BIG)
-            ra_s, r2_s, pos_s = jax.lax.sort(
-                (ra_in, r2, apos), num_keys=2, dimension=1
+            ra_s, r2_s, r3_s, r4_s, pos_s = jax.lax.sort(
+                (ra_in, r2, r3, r4, apos), num_keys=4, dimension=1
             )
             ghead = jnp.concatenate(
                 [jnp.ones((B, 1), jnp.bool_), ra_s[:, 1:] != ra_s[:, :-1]], 1
             )
+            diff = (
+                (r2_s[:, 1:] != r2_s[:, :-1])
+                | (r3_s[:, 1:] != r3_s[:, :-1])
+                | (r4_s[:, 1:] != r4_s[:, :-1])
+            )
             head = ghead | jnp.concatenate(
-                [jnp.ones((B, 1), jnp.bool_), r2_s[:, 1:] != r2_s[:, :-1]], 1
+                [jnp.ones((B, 1), jnp.bool_), diff], 1
             )
             p0 = jax.lax.cummax(jnp.where(ghead, col, jnp.int32(-1)), axis=1)
             glob = ra_s + (col - p0)  # this element's final SA slot candidate
@@ -251,13 +282,13 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
                 valid_s, (bbM + pos_s).reshape(B, M), jnp.int32(B * cap)
             )
             rank = (
-                rank.reshape(-1)
+                rankf
                 .at[flat.reshape(-1)]
                 .set(newr.reshape(-1), mode="drop")
                 .reshape(B, cap)
             )
             ckpt = jax.lax.dynamic_update_slice(
-                ckpt, rank[:, None, :], (0, level - 4, 0)
+                ckpt, rank[:, None, :], (0, rd, 0)
             )
             nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
             act2 = (~(head & nxt)) & valid_s
@@ -266,21 +297,21 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
                 (key2, pos_s, newr), num_keys=1, dimension=1
             )
             mrow_new = jnp.sum(act2.astype(jnp.int32), axis=1)
-            lvl_out = jnp.where(
-                (mrow > 0) & (mrow_new == 0), level + 1, lvl_out
+            rows_out = jnp.where(
+                (mrow > 0) & (mrow_new == 0), rd + 1, rows_out
             )
-            return rank, ckpt, apos_n, ra_n, mrow_new, lvl_out, level + 1
+            return rank, ckpt, apos_n, ra_n, mrow_new, rows_out, rd + 1
 
         def comp_cond(state):
-            _, _, _, _, mrow, _, level = state
-            return (jnp.max(mrow) > 0) & (level < L)
+            _, _, _, _, mrow, _, rd = state
+            return (jnp.max(mrow) > 0) & (rd < R)
 
-        rank, ckpt, _, _, mrow, lvl_out, level = jax.lax.while_loop(
+        rank, ckpt, _, _, mrow, rows_out, rd = jax.lax.while_loop(
             comp_cond, comp_body,
-            (rank, ckpt, apos0, ra0, mrow, lvl_out, level),
+            (rank, ckpt, apos0, ra0, mrow, rows_out, rd),
         )
 
-    n_levels = jnp.where(mrow > 0, level, lvl_out)
+    n_rows = jnp.where(mrow > 0, rd, rows_out)
     # rank is now a permutation of [0, cap); invert via sort, carrying the
     # packed 32-byte prefixes into slot order as payloads (sort payloads are
     # far cheaper than the equivalent post-hoc gathers).
@@ -288,7 +319,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     sa = sorted_out[1]
     t32 = jnp.stack(packs[:4], axis=1)
     p32 = jnp.stack(sorted_out[2:], axis=1)
-    return sa, ckpt, n_levels, t32, p32
+    return sa, ckpt, n_rows, t32, p32
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
