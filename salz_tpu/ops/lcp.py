@@ -453,13 +453,20 @@ def _rowmin_tables(lcp_adj, *, cap: int):
     return jnp.stack(tabs, axis=1), LR  # (B, LR+1, R)
 
 
-def _crossing_rangemin(lcp_suf, lcp_pre, rowtab, LR, lo, hi, present, *, cap: int):
+def _crossing_rangemin(lcp_suf, lcp_pre, rowtab, LR, lo, hi, present, *,
+                       cap: int, vrow=None, rrow=None):
     """Range-min of lcp_adj over [lo, hi] where lo and hi lie in DIFFERENT
     512-slot rows: min(suffix-min at lo, whole rows between, prefix-min at
-    hi). Shapes: queries (B, m); lcp_suf/pre (B, cap); rowtab (B, LR+1, R)."""
+    hi). Shapes: queries (B, m); lcp_suf/pre (B, cap); rowtab (B, LR+1, R).
+
+    vrow/rrow: per-element base offsets into the flattened edge-minima /
+    rowtab tables; default one block per batch row. The global-pool path
+    passes per-element offsets (queries from many blocks in one bucket)."""
     B, m = lo.shape
     R = cap // _RW
-    vrow = (jnp.arange(lo.shape[0], dtype=jnp.int32) * cap)[:, None]
+    if vrow is None:
+        vrow = (jnp.arange(lo.shape[0], dtype=jnp.int32) * cap)[:, None]
+        rrow = (jnp.arange(B, dtype=jnp.int32) * (LR + 1) * R)[:, None]
     q = jnp.concatenate(
         [vrow + jnp.clip(lo, 0, cap - 1), vrow + jnp.clip(hi, 0, cap - 1)], axis=1
     )
@@ -477,7 +484,6 @@ def _crossing_rangemin(lcp_suf, lcp_pre, rowtab, LR, lo, hi, present, *, cap: in
     j = jnp.zeros_like(d)
     for l in range(1, LR + 1):
         j = jnp.where(d >= (1 << l), l, j)
-    rrow = (jnp.arange(B, dtype=jnp.int32) * (LR + 1) * R)[:, None]
     flat = rowtab.reshape(-1)
     q2 = jnp.concatenate(
         [
@@ -595,75 +601,69 @@ def candidate_lengths_slot_batch(
     cross_n = (rslot >= 0) & (rslot > rowbase + _RW - 1)
 
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (lcp_adj - lcp_adj)
-    frow0 = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
     if buckets is not None:
         # Reuse the ANSV crossing buckets (see docstring): gather the range
         # endpoints at the compacted slots (rung-width gathers) instead of
         # re-sorting two full-width arrays.
         qpos_l, cnt_p, qpos_r, cnt_n = buckets
-
-        def get_pq(M):
-            qpM = jnp.clip(qpos_l[:, :M], 0, cap - 1)
-            return qpM, lslot.reshape(-1)[frow0 + qpM] + 1
-
-        def get_nq(M):
-            qnM = jnp.clip(qpos_r[:, :M], 0, cap - 1)
-            return qnM, rslot.reshape(-1)[frow0 + qnM]
     else:
         # Compact crossing queries (~1.3%/side at 512-wide rows) with
-        # fused-key sorts (flag in bit 26; cap <= 2^24), one payload each.
+        # fused-key sorts (flag in bit 26; cap <= 2^24).
         cnt_p = jnp.sum(cross_p.astype(jnp.int32), axis=1)
         cnt_n = jnp.sum(cross_n.astype(jnp.int32), axis=1)
         flagbit = jnp.int32(1 << 26)
-        fused_p, qlo_p = jax.lax.sort(
-            (jnp.where(cross_p, slot_iota, slot_iota | flagbit), lslot + 1),
+        (fused_p,) = jax.lax.sort(
+            (jnp.where(cross_p, slot_iota, slot_iota | flagbit),),
             num_keys=1, dimension=1,
         )
-        fused_n, qhi_n = jax.lax.sort(
-            (jnp.where(cross_n, slot_iota, slot_iota | flagbit), rslot),
+        (fused_n,) = jax.lax.sort(
+            (jnp.where(cross_n, slot_iota, slot_iota | flagbit),),
             num_keys=1, dimension=1,
         )
-        qp = fused_p & (flagbit - 1)
-        qn = fused_n & (flagbit - 1)
-
-        def get_pq(M):
-            return jnp.clip(qp[:, :M], 0, cap - 1), qlo_p[:, :M]
-
-        def get_nq(M):
-            return jnp.clip(qn[:, :M], 0, cap - 1), qhi_n[:, :M]
+        qpos_l = fused_p & (flagbit - 1)
+        qpos_r = fused_n & (flagbit - 1)
     rowtab, LR = _rowmin_tables(lcp_adj, cap=cap)
-    frow = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
+    R = cap // _RW
 
-    def scat(arr, mask, qk, val):
-        flat = jnp.where(mask, frow + jnp.clip(qk, 0, cap - 1), B * cap)
-        return (
-            arr.reshape(-1)
-            .at[flat.reshape(-1)]
-            .set(val.reshape(-1), mode="drop")
-            .reshape(B, cap)
-        )
+    # GLOBAL-POOL rungs (round 3, mirrors ops/ansv_tpu): pool sized by the
+    # BATCH total so one skewed block cannot force a near-full-width rung
+    # for everyone; block ids via binary search of the cumsum offsets.
+    off_p = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_p)])
+    off_n = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_n)])
 
-    def bucket_p(M: int):
+    def make_pool(MG: int, left: bool):
+        qpos, off = (qpos_l, off_p) if left else (qpos_r, off_n)
+        base = psv_in if left else nsv_in
+
         def path(_):
-            mid = jnp.arange(M, dtype=jnp.int32)[None, :]
-            vp = mid < cnt_p[:, None]
-            qpM, qloM = get_pq(M)
-            rp = _crossing_rangemin(
-                suf, pre, rowtab, LR, qloM, qpM, vp, cap=cap
+            g = jnp.arange(MG, dtype=jnp.int32)
+            bq = jnp.clip(
+                jnp.searchsorted(off[1:], g, side="right").astype(jnp.int32),
+                0, B - 1,
             )
-            return scat(psv_in, vp, qpM, rp)
-
-        return path
-
-    def bucket_n(M: int):
-        def path(_):
-            mid = jnp.arange(M, dtype=jnp.int32)[None, :]
-            vn = mid < cnt_n[:, None]
-            qnM, qhiM = get_nq(M)
-            rn = _crossing_rangemin(
-                suf, pre, rowtab, LR, qnM + 1, qhiM, vn, cap=cap
+            li = g - off[bq]
+            valid = g < off[B]
+            qk = jnp.clip(
+                qpos.reshape(-1)[bq * cap + jnp.clip(li, 0, cap - 1)],
+                0, cap - 1,
             )
-            return scat(nsv_in, vn, qnM, rn)
+            vrow = (bq * cap)[None, :]
+            rrow = (bq * (LR + 1) * R)[None, :]
+            if left:
+                lo = lslot.reshape(-1)[bq * cap + qk] + 1
+                hi = qk
+            else:
+                lo = qk + 1
+                hi = rslot.reshape(-1)[bq * cap + qk]
+            r = _crossing_rangemin(
+                suf, pre, rowtab, LR, lo[None, :], hi[None, :],
+                valid[None, :], cap=cap, vrow=vrow, rrow=rrow,
+            )
+            flat = jnp.where(valid, bq * cap + qk, B * cap)
+            return (
+                base.reshape(-1).at[flat].set(r[0], mode="drop")
+                .reshape(B, cap)
+            )
 
         return path
 
@@ -679,29 +679,26 @@ def candidate_lengths_slot_batch(
         )
         return jnp.where(cross_n, rn, nsv_in)
 
-    # Per-side rung ladders (a shared ladder let one skewed block drag BOTH
-    # sides full-width — the crossing load on real corpora is 1-7% per side
-    # and the sides are independent).
-    M1 = max(cap // 64, 512)
-    M2 = max(cap // 16, 1024)
-    M3 = max(cap // 4, 2048)
+    G1 = max(B * cap // 64, 1024)
+    G2 = max(B * cap // 32, 2048)
+    G3 = max(B * cap // 8, 4096)
 
-    def ladder(cnt, bucket, full):
-        maxc = jnp.max(cnt)
+    def ladder(off, left, full):
+        tot = off[B]
         return jax.lax.cond(
-            maxc <= M1,
-            bucket(M1),
+            tot <= G1,
+            make_pool(G1, left),
             lambda _: jax.lax.cond(
-                maxc <= M2,
-                bucket(M2),
-                lambda _: jax.lax.cond(maxc <= M3, bucket(M3), full, 0),
+                tot <= G2,
+                make_pool(G2, left),
+                lambda _: jax.lax.cond(tot <= G3, make_pool(G3, left), full, 0),
                 0,
             ),
             0,
         )
 
-    psv_len = ladder(cnt_p, bucket_p, full_p)
-    nsv_len = ladder(cnt_n, bucket_n, full_n)
+    psv_len = ladder(off_p, True, full_p)
+    nsv_len = ladder(off_n, False, full_n)
     psv_len = jnp.where(lslot >= 0, psv_len, 0)
     nsv_len = jnp.where(rslot >= 0, nsv_len, 0)
     return psv_len, nsv_len
