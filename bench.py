@@ -30,8 +30,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_corpus(total_bytes: int) -> bytes:
-    """Deterministic text-like corpus (no external files in this image)."""
+def make_synth_corpus(total_bytes: int) -> bytes:
+    """Deterministic text-like corpus (fallback when corpora/ is absent)."""
     rng = np.random.default_rng(1234)
     words = [
         b"the ", b"quick ", b"brown ", b"fox ", b"jumps ", b"over ", b"lazy ",
@@ -49,6 +49,29 @@ def make_corpus(total_bytes: int) -> bytes:
     while len(out) < total_bytes:  # top up if the estimate fell short
         out += out[: total_bytes - len(out)]
     return bytes(out[:total_bytes])
+
+
+def make_corpus(total_bytes: int) -> bytes:
+    """REAL on-image bytes (corpora/ built by scripts/make_corpora.py from
+    license text, source trees, and ELF binaries — the survivor-heavy
+    regime where round-2 was slowest; VERDICT round-2 weak #2 demanded the
+    headline be measured on real data). Synthetic word-salad only as a
+    fallback when the corpora are missing."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    parts = []
+    got = 0
+    for name in ("text.bin", "source.bin", "binary.bin", "mixed.bin"):
+        path = os.path.join(root, "corpora", name)
+        if os.path.exists(path):
+            data = open(path, "rb").read()
+            parts.append(data)
+            got += len(data)
+    if not parts:
+        return make_synth_corpus(total_bytes)
+    blob = b"".join(parts)
+    while len(blob) < total_bytes:
+        blob += blob
+    return blob[:total_bytes]
 
 
 def main() -> None:
@@ -76,8 +99,10 @@ def main() -> None:
     log(f"corpus: {len(corpus)} bytes, {len(blocks)} blocks of <= {cap}")
     log(f"devices: {jax.devices()}")
 
-    # ---- native single-thread baseline on a subset
-    sub = blocks[: max(1, min(4, len(blocks)))]
+    # ---- native single-thread baseline on a subset spanning the corpus
+    # (text + source + binary regimes, not just the first file)
+    stride = max(1, len(blocks) // 4)
+    sub = blocks[::stride][:4] or blocks[:1]
     t0 = time.perf_counter()
     native_segs = [native.encode_block(b) for b in sub]
     native_dt = time.perf_counter() - t0

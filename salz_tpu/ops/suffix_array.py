@@ -152,7 +152,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     sorted16 = jax.lax.sort(
         (keyA, *keys_rest, keyF, idx), num_keys=6, dimension=1
     )
-    perm = sorted16[-1]
+    perm16 = sorted16[-1]
     eq = jnp.ones((B, cap - 1), jnp.bool_)
     for kk in sorted16[:-1]:
         eq = eq & (kk[:, 1:] == kk[:, :-1])
@@ -160,18 +160,15 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     rank_s = _heads_to_rank(head_s)
     # active = member of a non-singleton 16-byte group (run length > 1)
     nxt_head = jnp.concatenate([head_s[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
-    act_s = ~(head_s & nxt_head)
-    # invert to text order, carrying the active flag
-    _, rank16, act16 = jax.lax.sort(
-        (perm, rank_s, act_s.astype(jnp.int32)), num_keys=1, dimension=1
-    )
+    act16_s = ~(head_s & nxt_head)  # SA order; the invert carries no flag
+    _, rank16 = jax.lax.sort((perm16, rank_s), num_keys=1, dimension=1)
 
     ckpt0 = jnp.broadcast_to(idx1[None, None, :], (B, R, cap))
     ckpt0 = jax.lax.dynamic_update_slice(
         ckpt0, rank16[:, None, :], (0, 0, 0)
     )  # row 0 = 16-byte ranks
 
-    mrow0 = jnp.sum(act16, axis=1)
+    mrow0 = jnp.sum(act16_s.astype(jnp.int32), axis=1)
     rows0 = jnp.where(mrow0 == 0, jnp.int32(1), jnp.int32(0))
 
     M = min(cap, max(cap // 8, 512))  # compacted-phase rung
@@ -193,7 +190,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     # (with -1 sentinels ordering truncated suffixes first). Result: ckpt
     # row rd = ranks of prefix 4m.
     def full_body(state):
-        rank, ckpt, act, mrow, rows_out, rd = state
+        rank, ckpt, act_s, perm_s, mrow, rows_out, rd = state
         m = jnp.int32(1) << (2 * rd + 2)
         r2 = _shifted_rank(rank, m)
         r3 = _shifted_rank(rank, 2 * m)
@@ -213,24 +210,23 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
         act_srt = ~(head & nxt)
         # Invert the permutation with a sort (cheaper than a 1-D scatter on
         # TPU): sorting by perm lands every new rank at its text position.
-        _, new_rank, act_new = jax.lax.sort(
-            (perm, new_rank_s, act_srt.astype(jnp.int32)), num_keys=1,
-            dimension=1,
-        )
+        # The active flag stays in SA order (the count and the phase-2
+        # extraction both work there) — one payload fewer per round.
+        _, new_rank = jax.lax.sort((perm, new_rank_s), num_keys=1, dimension=1)
         ckpt = jax.lax.dynamic_update_slice(
             ckpt, new_rank[:, None, :], (0, rd, 0)
         )
-        mrow_new = jnp.sum(act_new, axis=1)
+        mrow_new = jnp.sum(act_srt.astype(jnp.int32), axis=1)
         rows_out = jnp.where((mrow > 0) & (mrow_new == 0), rd + 1, rows_out)
-        return new_rank, ckpt, act_new, mrow_new, rows_out, rd + 1
+        return new_rank, ckpt, act_srt, perm, mrow_new, rows_out, rd + 1
 
     def full_cond(state):
-        _, _, _, mrow, _, rd = state
+        _, _, _, _, mrow, _, rd = state
         return (jnp.max(mrow) > thresh) & (rd < R)
 
-    rank, ckpt, act, mrow, rows_out, rd = jax.lax.while_loop(
+    rank, ckpt, act_s, perm_s, mrow, rows_out, rd = jax.lax.while_loop(
         full_cond, full_body,
-        (rank16, ckpt0, act16, mrow0, rows0, jnp.int32(1)),
+        (rank16, ckpt0, act16_s, perm16, mrow0, rows0, jnp.int32(1)),
     )
 
     # ---------------- phase 2: compacted rounds at rung M -------------------
@@ -238,10 +234,15 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     # full-width sort; thereafter every round is M-wide. Head-index ranks
     # make rounds idempotent for resolved lanes, so no per-lane masking.
     if M < cap:
-        key = jnp.where(act == 1, rank, _BIG)
-        ra0, apos0 = jax.lax.sort((key, idx), num_keys=1, dimension=1)
-        ra0 = ra0[:, :M]
+        # Extract the active set from the SA-order flags: slots are rank
+        # order, so compacting by slot keeps groups contiguous ascending;
+        # the ranks themselves come from one M-wide gather.
+        key = jnp.where(act_s, idx, idx | _BIG)
+        _, apos0 = jax.lax.sort((key, perm_s), num_keys=1, dimension=1)
         apos0 = apos0[:, :M]
+        ra0 = rank.reshape(-1)[
+            (bbase + jnp.clip(apos0, 0, cap - 1)).reshape(B, M)
+        ]
         col = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
         bbM = bbase  # (B, 1)
 

@@ -75,6 +75,7 @@ def main() -> int:
             payload = enc.getvalue()
 
             t_first = None
+            deterministic = None
             if args.steady:
                 t_first = t_enc
                 enc2 = io.BytesIO()
@@ -83,7 +84,12 @@ def main() -> int:
                     io.BytesIO(data), enc2, block_size, codec
                 )
                 t_enc = time.perf_counter() - t0
-                assert enc2.getvalue() == payload, "non-deterministic encode"
+                # Recorded per-line (not an assert: that would be stripped
+                # under -O and would abort the whole sweep; mismatches are
+                # counted like roundtrip/conform failures instead).
+                deterministic = enc2.getvalue() == payload
+                if not deterministic:
+                    failures += 1
 
             dec = io.BytesIO()
             t0 = time.perf_counter()
@@ -122,6 +128,10 @@ def main() -> int:
                 "decompress_s": round(t_dec, 4),
                 "decompress_MB_s": round(len(data) / t_dec / 1e6, 3),
                 "roundtrip": "ok" if ok else "MISMATCH",
+                **(
+                    {"deterministic": "ok" if deterministic else "MISMATCH"}
+                    if deterministic is not None else {}
+                ),
                 **(
                     {"conform": "ok" if conform else "MISMATCH"}
                     if conform is not None else {}
