@@ -149,11 +149,25 @@ class BatchBlockEncoder:
                 status[i] = self.ERR_TOO_LONG
             else:
                 good.append(i)
-        for lo in range(0, len(good), self.batch):
-            group = good[lo : lo + self.batch]
-            B = len(group)
-            padded = np.zeros((self.batch, self.cap), np.uint8)
-            lens = np.full(self.batch, TAIL_RESERVE, np.int32)
+        # Full batches, then the remainder in power-of-two sub-batches: a
+        # 1-block file must not pay for `batch` lanes of encode work (the
+        # whole-batch padding made one-block files ~8x slower). Each distinct
+        # sub-batch size compiles once and is cached persistently.
+        groups: list[list[int]] = []
+        lo = 0
+        while len(good) - lo >= self.batch:
+            groups.append(good[lo : lo + self.batch])
+            lo += self.batch
+        rem = len(good) - lo
+        while rem > 0:
+            size = 1 << (rem.bit_length() - 1)  # largest pow2 <= rem
+            groups.append(good[lo : lo + size])
+            lo += size
+            rem -= size
+        for group in groups:
+            gb = len(group)
+            padded = np.zeros((gb, self.cap), np.uint8)
+            lens = np.full(gb, TAIL_RESERVE, np.int32)
             for j, i in enumerate(group):
                 padded[j, : len(blocks[i])] = np.frombuffer(blocks[i], np.uint8)
                 lens[j] = len(blocks[i])

@@ -17,6 +17,11 @@ Three implementations with identical results:
   tiles. Measured fixpoint work totals ~n/12 rounds independent of chunk
   size, so narrow rows minimize total vector work; the old per-chunk
   formulation paid ~2048 XLA dispatches + Pallas call overheads per block.
+  The default window is 8192: measured on v5e the wider in-VMEM crossing
+  gather costs ~2% over window 2048 on text, while ELF binaries — whose
+  repeats are mostly 2-8 KiB at 13k+ distinct targets, overflowing the far
+  run slots — collapse from the segmented fallback (933 ms) to the near
+  path (212 ms).
 
 All paths work on u[p] = cost[p] - 9*(n - p) (the literal-chain potential), so
 the literal edge becomes a suffix min and each factor edge a gather. The DP
@@ -386,7 +391,7 @@ def _sweep_tpu(nb, base, uw, pw, nw, pt, nt, pre_far, tgt, pkidx, nkidx, *,
 @functools.partial(jax.jit, static_argnames=("cap", "chunk", "window"))
 def optimal_parse_chunked_batch(
     psv_offs, psv_len, nsv_offs, nsv_len, n, *,
-    cap: int, chunk: int = 512, window: int = 2048
+    cap: int, chunk: int = 512, window: int = 8192
 ):
     """Vectorized chunked-fixpoint DP over a BATCH of blocks; identical
     results to the per-block sequential DP. See module docstring.
