@@ -149,23 +149,27 @@ class BatchBlockEncoder:
                 status[i] = self.ERR_TOO_LONG
             else:
                 good.append(i)
-        # Full batches, then the remainder in power-of-two sub-batches: a
-        # 1-block file must not pay for `batch` lanes of encode work (the
-        # whole-batch padding made one-block files ~8x slower). Each distinct
-        # sub-batch size compiles once and is cached persistently.
-        groups: list[list[int]] = []
+        # Full batches, then the remainder in at most TWO power-of-two
+        # sub-batches (largest pow2 <= rem, then pow2-ceil of the rest,
+        # padded with empty lanes): a 1-block file must not pay for `batch`
+        # lanes of encode work (whole-batch padding made one-block files ~8x
+        # slower), while capping the number of distinct program shapes the
+        # XLA cache must hold (one compile per shape).
+        groups: list[tuple[list[int], int]] = []  # (block ids, lane count)
         lo = 0
         while len(good) - lo >= self.batch:
-            groups.append(good[lo : lo + self.batch])
+            groups.append((good[lo : lo + self.batch], self.batch))
             lo += self.batch
         rem = len(good) - lo
-        while rem > 0:
-            size = 1 << (rem.bit_length() - 1)  # largest pow2 <= rem
-            groups.append(good[lo : lo + size])
-            lo += size
-            rem -= size
-        for group in groups:
-            gb = len(group)
+        if rem > 0:
+            s1 = 1 << (rem.bit_length() - 1)  # largest pow2 <= rem
+            groups.append((good[lo : lo + s1], s1))
+            lo += s1
+            rem -= s1
+        if rem > 0:
+            s2 = 1 << max(rem - 1, 0).bit_length()  # pow2 ceil
+            groups.append((good[lo:], s2))
+        for group, gb in groups:
             padded = np.zeros((gb, self.cap), np.uint8)
             lens = np.full(gb, TAIL_RESERVE, np.int32)
             for j, i in enumerate(group):
