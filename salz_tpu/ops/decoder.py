@@ -219,10 +219,17 @@ def decode_block_device(segment: jax.Array, seg_len: jax.Array, *, seg_cap: int,
                 dst_i = jnp.clip(dst_pos + i, 0, out_cap - 1)
                 return out.at[dst_i].set(out[src_i])
 
+            # The loop trip count MUST be clamped: a malformed stream (or a
+            # dead lane's garbage state under vmap — vmapped while/fori trip
+            # counts are shared as the MAX over lanes, and vmapped lax.cond
+            # executes BOTH branches) can decode factor_len ~ 2^30, which
+            # used to spin the whole batch for minutes and present as a TPU
+            # runtime crash on zero-length lanes (VERDICT round-2 item 7).
+            safe_len = jnp.where(fail, 0, jnp.clip(factor_len, 0, out_cap))
             out = jax.lax.cond(
                 fail,
                 lambda o: o,
-                lambda o: jax.lax.fori_loop(0, factor_len, copy_body, o),
+                lambda o: jax.lax.fori_loop(0, safe_len, copy_body, o),
                 out,
             )
             return src_pos, dst_pos + factor_len, hi, lo, avail, out, fail
@@ -292,15 +299,16 @@ class BatchBlockDecoder:
         for lo in range(0, len(segments), self.batch):
             group = segments[lo : lo + self.batch]
             B = len(group)
-            # Unused lanes replay the last real segment, not sit empty: a
-            # zero-length lane makes that lane's loop state garbage from
-            # step 0, which crashes the TPU runtime at big caps (observed
-            # on v5e at 1 MiB; fine at <= 64 KiB). Duplicates cost nothing
-            # — lanes step together to the longest block either way.
+            # Unused lanes stay empty (status != 0, ignored below). Round 2
+            # replayed the last real segment here because empty lanes
+            # appeared to crash the TPU runtime at big caps; the root cause
+            # was the decoder's unclamped factor-copy trip count (see the
+            # safe_len comment in decode_block_device) — fixed, so empty
+            # lanes are safe and cost nothing.
             padded = np.zeros((self.batch, self.seg_cap), np.uint8)
             lens = np.zeros(self.batch, np.int32)
-            for i in range(self.batch):
-                seg = group[min(i, B - 1)]
+            for i in range(B):
+                seg = group[i]
                 if len(seg) > self.seg_cap:
                     raise SalzDecodeError("encoded segment too large")
                 padded[i, : len(seg)] = np.frombuffer(seg, np.uint8)

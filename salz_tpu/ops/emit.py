@@ -380,17 +380,19 @@ def emit_stream_batch(
 
     # Token-width x slot-count bucket ladder: every token-indexed scatter/
     # cumsum costs linearly in tcap, and the slot-byte synthesis plus the
-    # payload merge sort cost linearly in scap. Measured loads on text
-    # (scripts/ladder_stats.py, profile_emit.py): tokens ~6.4% of cap
-    # (just OVER a cap/16 rung — hence cap/8), slots ~18.4k of the 131k
-    # bound (just OVER a cap/64 rung — hence cap/32), so the narrow rung
-    # is the common case.
+    # payload merge sort cost linearly in scap. Measured loads
+    # (scripts/ladder_stats.py): text/source tokens are 2-10% of cap with
+    # slots well under S_SMALL; ELF binaries run to ~29% tokens but their
+    # slots STILL fit S_SMALL — which is why the slot rung is decoupled
+    # from the token rung (a coupled ladder forced S_FULL slot arrays and
+    # a 2x-wider payload merge on binaries).
+    s_fit = max_slots <= S_SMALL - 2
     return jax.lax.cond(
-        (max_text <= cap // 8) & (max_slots <= S_SMALL - 2),
+        (max_text <= cap // 8) & s_fit,
         core(cap // 8 + TAIL_RESERVE, S_SMALL),
         lambda _: jax.lax.cond(
-            max_text <= cap // 4,
-            core(cap // 4 + TAIL_RESERVE, S_FULL),
+            (max_text <= cap // 2) & s_fit,
+            core(cap // 2 + TAIL_RESERVE, S_SMALL),
             lambda _: jax.lax.cond(
                 max_text <= cap // 2,
                 core(cap // 2 + TAIL_RESERVE, S_FULL),

@@ -55,3 +55,35 @@ def test_device_decode_large_offsets_and_long_factors():
     got, status = _decode(seg)
     assert status == 0
     assert got == data
+
+
+def test_device_decode_malformed_giant_factor_is_prompt():
+    """A corrupted stream decoding a huge factor length must fail fast: the
+    copy loop's trip count is clamped (unclamped, a garbage factor_len of
+    ~2^30 spun the whole vmapped batch — the round-2 'empty lane crashes
+    the TPU at big caps' bug)."""
+    data = make_corpus("repetitive", 1000, seed=3)
+    seg = bytearray(oc.encode_block(data))
+    assert seg[3] == fmt.STREAM_TYPE_SALZ
+    # Corrupt the first bitstream word (bytes 4..12): all-zero bits turn the
+    # first token's GR3 length into a multi-word unary -> enormous length.
+    for i in range(4, 12):
+        seg[i] = 0
+    _, status = _decode(bytes(seg))
+    assert status == 1
+
+
+def test_batch_decode_with_empty_lanes():
+    """Zero-length lanes in a batched decode are safe (status path), and the
+    real lanes decode exactly; round 2 replayed segments to avoid this."""
+    from salz_tpu.ops.decoder import BatchBlockDecoder
+
+    blocks = [
+        make_corpus("text", 5000, seed=1),
+        make_corpus("runs", 3000, seed=2),
+        make_corpus("zeros", 800, seed=3),
+    ]
+    segs = [oc.encode_block(b) for b in blocks]
+    dec = BatchBlockDecoder(1 << 15, batch=8)  # 3 real + 5 empty lanes
+    got = dec.decode_many(segs)
+    assert got == blocks
