@@ -184,12 +184,27 @@ def main() -> None:
     decode_mbps = dec_total / decode_dt / 1e6
     log(f"decode (native path): {decode_mbps:.2f} MB/s")
 
+    # ---- device decoder (conformance path — serial token loop per block,
+    # vmap-batched; measured so the claim carries a number, VERDICT r2 #8).
+    from salz_tpu.ops.decoder import BatchBlockDecoder
+
+    ddec = BatchBlockDecoder(cap, batch=min(8, len(segs)))
+    sub_segs = segs[: min(8, len(segs))]
+    got = ddec.decode_many(sub_segs)  # warm/compile
+    assert got == blocks[: len(sub_segs)]
+    t0 = time.perf_counter()
+    ddec.decode_many(sub_segs)
+    ddt = time.perf_counter() - t0
+    decode_dev_mbps = sum(len(b) for b in got) / ddt / 1e6
+    log(f"decode (device conformance path): {decode_dev_mbps:.3f} MB/s")
+
     print(json.dumps({
         "metric": "compress_MB_s_per_chip",
         "value": round(device_mbps, 3),
         "unit": "MB/s",
         "vs_baseline": round(device_mbps / native_mbps, 3),
         "decode_MB_s": round(decode_mbps, 3),
+        "decode_device_MB_s": round(decode_dev_mbps, 3),
         "ratio": round(
             sum(len(b) for b in blocks) / sum(len(s) for s in segs), 3
         ),
