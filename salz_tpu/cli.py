@@ -166,20 +166,20 @@ def _process_path(path: str, *, decompress: bool, keep: bool, force: bool,
         with open(path, "rb") as inp, open(outpath, "wb") as out:
             if decompress:
                 # Decode path per config: native scalar by default (token
-                # decode is serial per block); "jax" = device decoder.
+                # decode is serial per block); "jax" = device decoder. One
+                # config flows straight to get_codec — the decompressor
+                # reads the block size from the container header, so the
+                # config's level is irrelevant here.
                 from salz_tpu.config import SalzConfig
 
                 eng = cfg.decode_engine if cfg.engine == "jax" else cfg.engine
-                codec = container.get_codec(
-                    SalzConfig(
-                        engine="jax" if eng == "jax" else eng,
-                        decode_engine=eng,
-                        batch=cfg.batch,
-                    )
-                    if eng == "jax"
-                    else eng,
-                    1,
+                dcfg = SalzConfig(
+                    engine=eng, decode_engine=eng, batch=cfg.batch
                 )
+                # block_size=64: a valid dummy for the unused encode side
+                # (1 crashed the jax engine's encoder validation); the
+                # decode side reads the real size from the container header.
+                codec = container.get_codec(dcfg, 64)
                 container.decompress_stream(inp, out, codec)
             else:
                 codec = container.get_codec(cfg)

@@ -148,3 +148,19 @@ def test_multiple_files_worst_exit_code(tmp_path):
 
 def test_nonexistent_path():
     assert cli.main(ENGINE + ["/no/such/file"]) == cli.ERROR
+
+
+def test_decompress_decode_engine_jax(tmp_path):
+    """--decode-engine jax roundtrips through the on-device decoder (the
+    CLI used to crash constructing the codec with a dummy block size)."""
+    data = make_corpus("text", 4000, seed=13)
+    src = _write(tmp_path, "f.bin", data)
+    assert cli.main(["--engine", "native", "-0", "-k", str(src)]) == 0
+    assert (
+        cli.main(
+            ["--engine", "jax", "--decode-engine", "jax", "-d", "-f",
+             str(tmp_path / "f.bin.salz")]
+        )
+        == 0
+    )
+    assert (tmp_path / "f.bin").read_bytes() == data
