@@ -105,6 +105,22 @@ def test_two_process_distributed_cpu(tmp_path):
     outs = [p.communicate(timeout=840) for p in procs]
     rcs = [p.returncode for p in procs]
     if 17 in rcs:
+        # The skip must not silently mask a regression (round-2 advisor
+        # note): only skip when the IMAGE genuinely lacks a working
+        # jax.distributed — probed with a 1-process init in a subprocess.
+        probe = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms', 'cpu');"
+             "jax.distributed.initialize('127.0.0.1:%d', 1, 0);"
+             "print('ok')" % _free_port()],
+            capture_output=True, timeout=300,
+        )
+        if b"ok" in probe.stdout:
+            pytest.fail(
+                "worker reported jax.distributed unavailable (rc 17) but a "
+                "1-process init works: "
+                + outs[rcs.index(17)][1].decode()[-2000:]
+            )
         pytest.skip("jax.distributed unavailable in this environment")
     assert rcs == [0, 0], [o[1].decode()[-2000:] for o in outs]
 
