@@ -263,15 +263,25 @@ def adjacent_lcp_batch(
         """Survivor-heavy blocks: the Φ/PLCP irreducible-LCP decomposition.
 
         lcp_adj[k] = PLCP[sa[k]] with PLCP[i] = LCP(i, Φ(i)), Φ(i) =
-        sa[rank(i)-1]. PLCP is REDUCIBLE at i when Φ(i) = Φ(i-1)+1, and then
-        PLCP[i] = PLCP[i-1] - 1 EXACTLY (the mismatching byte pair — or the
-        n-truncation — just shifts by one; Kärkkäinen-Manzini-Puglisi). So
-        only irreducible survivors need a checkpoint descent; every reducible
-        position follows from the monotone identity PLCP[i]+i =
-        max_{known j<=i}(PLCP[j]+j) — one cummax. On long-repeat corpora
-        (56-68% of adjacent pairs share >= 32 bytes, BIGCAP_TPU.md) the
-        irreducible fraction is tiny, collapsing the dominant full-width
-        descent to a narrow bucket at the cost of three extra sorts.
+        sa[rank(i)-1]. PLCP is REDUCIBLE at i when Φ(i) = Φ(i-1)+1 AND
+        PLCP[i-1] >= 1, and then PLCP[i] = PLCP[i-1] - 1 EXACTLY (the
+        mismatching byte pair — or the n-truncation — shifts by one;
+        Kärkkäinen-Manzini-Puglisi). When PLCP[i-1] = 0 the mismatching
+        pair is NOT part of the shifted comparison and PLCP[i] is
+        unconstrained, so such positions must be descended like
+        irreducible ones. A reducible SURVIVOR's predecessor can only be
+        (a) another survivor — filled value >= 32 >= 1, chain valid — or
+        (b) a known non-survivor, whose exact value v must satisfy
+        v - 1 = PLCP[i] >= 32 if the identity held, impossible for
+        v < 32 unless v = 0 with the identity void; so the extra descent
+        set is exactly {survivors whose predecessor is a non-survivor}.
+        Only irreducible survivors (plus that boundary set) need a
+        checkpoint descent; every other reducible position follows from
+        the monotone identity PLCP[i]+i = max_{known j<=i}(PLCP[j]+j) —
+        one cummax. On long-repeat corpora (56-68% of adjacent pairs share
+        >= 32 bytes, BIGCAP_TPU.md) the irreducible fraction is tiny,
+        collapsing the dominant full-width descent to a narrow bucket at
+        the cost of three extra sorts.
         """
         in_text = idx < nb
         # Text-order views via one sort keyed by sa (a permutation):
@@ -291,7 +301,14 @@ def adjacent_lcp_batch(
             [jnp.zeros((B, 1), jnp.bool_), has_phi[:, :-1]], axis=1
         )
         red = has_phi & has_phi_prev & (phi_t == phi_prev + 1)
-        need = surv_tb & ~red  # irreducible survivors: must descend
+        # Chain-boundary guard (see docstring): a reducible survivor whose
+        # predecessor is a NON-survivor sits on a void identity (the only
+        # consistent predecessor value is 0) — descend it like an
+        # irreducible one. Position 0 is covered by red[0] = False.
+        prev_nonsurv = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.bool_), (~surv_tb)[:, :-1]], axis=1
+        )
+        need = surv_tb & (~red | prev_nonsurv)
         cnt_ir = jnp.sum(need.astype(jnp.int32), axis=1)
         max_ir = jnp.max(cnt_ir)
 

@@ -89,3 +89,28 @@ def test_plcp_mixed_survivors_and_short():
     sa, got = _device_lcp(data, cap)
     want = _naive_adjacent_lcp(data, sa[: len(data)])
     assert np.array_equal(got[: len(data)], want)
+
+
+def test_reducible_survivor_with_zero_predecessor():
+    """Φ(i) = Φ(i-1)+1 with PLCP[i-1] = 0 voids the reducibility identity
+    (the mismatching byte pair is not part of the shifted comparison):
+    construct 'aY...bY...' with a unique 40-byte high-alphabet motif Y so
+    the suffix after 'b' is a >= 32-byte survivor whose predecessor ('bY',
+    PLCP 0 against 'aY') is a non-survivor. The old fill produced -1 here
+    (found on real source-code corpora at level 0)."""
+    rng = np.random.default_rng(7)
+    Y = rng.integers(0x80, 0x100, 40, dtype=np.uint8).tobytes()
+    P = rng.integers(0x80, 0x100, 300, dtype=np.uint8).tobytes()
+    Q = rng.integers(0x80, 0x100, 300, dtype=np.uint8).tobytes()
+    # Survivor-heavy filler (one long repeat) forces the Φ/PLCP path
+    # (survivors > cap/128); the aY/bY construct plants the void identity.
+    motif = rng.integers(0x80, 0x100, 64, dtype=np.uint8).tobytes()
+    filler = motif * 60  # ~3840 survivor positions
+    data = filler + b"a" + Y + P + b"b" + Y + Q
+    cap = 8192
+    sa, lcp = _device_lcp(data, cap)
+    ref = _naive_adjacent_lcp(data, sa[: len(data)])
+    got = lcp[: len(data)]
+    assert np.array_equal(got[1:], ref[1:]), (
+        np.nonzero(got[1 : len(data)] != ref[1:])[0][:10],
+    )
