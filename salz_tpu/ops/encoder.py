@@ -138,17 +138,39 @@ class BatchBlockEncoder:
         reference's equivalent is salz_encode_safe's per-call -1 return).
 
         Returns (segments, status): segments[i] is None iff status[i] != 0.
+
+        Blocks much shorter than the capacity (a file's trailing block, or a
+        whole small file at a high level) are ROUTED to a smaller cap class
+        (cap/4^k, floor 32 KiB): the stream depends only on the block bytes
+        — the capacity merely pads — and cap/4^k equals the cap of level-2k,
+        whose program shapes the compile cache already holds, so a 380 KiB
+        file at level 9 stops paying for 16 MiB arrays (~40x).
         """
         segs: list[bytes | None] = [None] * len(blocks)
         status = [self.OK] * len(blocks)
-        good: list[int] = []
+        by_cap: dict[int, list[int]] = {}
         for i, blk in enumerate(blocks):
             if len(blk) < TAIL_RESERVE:
                 status[i] = self.ERR_TOO_SHORT
             elif len(blk) > self.cap:
                 status[i] = self.ERR_TOO_LONG
             else:
-                good.append(i)
+                c = self.cap
+                while c >= 4 * (32 << 10) and len(blk) <= c // 4:
+                    c //= 4
+                by_cap.setdefault(c, []).append(i)
+        for cap_c, idxs in sorted(by_cap.items(), reverse=True):
+            self._encode_class(blocks, idxs, cap_c, dst_cap, segs, status)
+        return segs, status
+
+    def _encode_class(self, blocks, good, cap_c, dst_cap, segs, status):
+        """Encode the blocks routed to one cap class (mutates segs/status)."""
+        # Keep ~the same bytes per dispatch as the class's native level.
+        batch = (
+            self.batch
+            if cap_c == self.cap
+            else max(1, (8 << 20) // cap_c)
+        )
         # Full batches, then the remainder in at most TWO power-of-two
         # sub-batches (largest pow2 <= rem, then pow2-ceil of the rest,
         # padded with empty lanes): a 1-block file must not pay for `batch`
@@ -157,9 +179,9 @@ class BatchBlockEncoder:
         # XLA cache must hold (one compile per shape).
         groups: list[tuple[list[int], int]] = []  # (block ids, lane count)
         lo = 0
-        while len(good) - lo >= self.batch:
-            groups.append((good[lo : lo + self.batch], self.batch))
-            lo += self.batch
+        while len(good) - lo >= batch:
+            groups.append((good[lo : lo + batch], batch))
+            lo += batch
         rem = len(good) - lo
         if rem > 0:
             s1 = 1 << (rem.bit_length() - 1)  # largest pow2 <= rem
@@ -170,7 +192,7 @@ class BatchBlockEncoder:
             s2 = 1 << max(rem - 1, 0).bit_length()  # pow2 ceil
             groups.append((good[lo:], s2))
         for group, gb in groups:
-            padded = np.zeros((gb, self.cap), np.uint8)
+            padded = np.zeros((gb, cap_c), np.uint8)
             lens = np.full(gb, TAIL_RESERVE, np.int32)
             for j, i in enumerate(group):
                 padded[j, : len(blocks[i])] = np.frombuffer(blocks[i], np.uint8)
@@ -178,7 +200,7 @@ class BatchBlockEncoder:
             out, out_len, salz_len = encode_blocks_device(
                 jnp.asarray(padded),
                 jnp.asarray(lens),
-                cap=self.cap,
+                cap=cap_c,
                 parse=self.parse,
             )
             out = np.asarray(out)
