@@ -186,29 +186,81 @@ def main() -> None:
 
     # ---- device decoder (conformance path — serial token loop per block,
     # vmap-batched; measured so the claim carries a number, VERDICT r2 #8).
-    from salz_tpu.ops.decoder import BatchBlockDecoder
+    # Runs in a SUBPROCESS with a hard timeout: round 3's driver bench died
+    # here with a TPU-worker crash AFTER the compress numbers were already
+    # in hand, losing the whole result. A kernel fault or hang in this
+    # optional metric must never take down the headline.
+    decode_dev_mbps = _device_decode_subprocess(segs, blocks, cap)
 
-    ddec = BatchBlockDecoder(cap, batch=min(8, len(segs)))
-    sub_segs = segs[: min(8, len(segs))]
-    got = ddec.decode_many(sub_segs)  # warm/compile
-    assert got == blocks[: len(sub_segs)]
-    t0 = time.perf_counter()
-    ddec.decode_many(sub_segs)
-    ddt = time.perf_counter() - t0
-    decode_dev_mbps = sum(len(b) for b in got) / ddt / 1e6
-    log(f"decode (device conformance path): {decode_dev_mbps:.3f} MB/s")
-
-    print(json.dumps({
+    result = {
         "metric": "compress_MB_s_per_chip",
         "value": round(device_mbps, 3),
         "unit": "MB/s",
         "vs_baseline": round(device_mbps / native_mbps, 3),
         "decode_MB_s": round(decode_mbps, 3),
-        "decode_device_MB_s": round(decode_dev_mbps, 3),
         "ratio": round(
             sum(len(b) for b in blocks) / sum(len(s) for s in segs), 3
         ),
-    }))
+    }
+    if decode_dev_mbps is not None:
+        result["decode_device_MB_s"] = round(decode_dev_mbps, 3)
+    print(json.dumps(result))
+
+
+def _device_decode_subprocess(
+    segs: list, blocks: list, cap: int
+) -> float | None:
+    """Measure the device conformance decoder in an isolated process.
+
+    Returns MB/s, or None if the child crashes/hangs (reported, not fatal:
+    the production decode path is native scalar; this is a conformance
+    facility whose measurement must not endanger the bench)."""
+    import subprocess
+    import tempfile
+
+    n = min(4, len(segs))
+    timeout_s = int(os.environ.get("SALZ_BENCH_DDEC_TIMEOUT", "900"))
+    with tempfile.TemporaryDirectory() as td:
+        data = os.path.join(td, "segs.npz")
+        np.savez(
+            data,
+            cap=cap,
+            **{f"seg{i}": np.frombuffer(segs[i], np.uint8) for i in range(n)},
+            **{f"blk{i}": np.frombuffer(blocks[i], np.uint8) for i in range(n)},
+        )
+        child = (
+            "import time, numpy as np\n"
+            f"z = np.load({data!r})\n"
+            "cap = int(z['cap'])\n"
+            "n = sum(1 for k in z.files if k.startswith('seg'))\n"
+            "segs = [z[f'seg{i}'].tobytes() for i in range(n)]\n"
+            "blks = [z[f'blk{i}'].tobytes() for i in range(n)]\n"
+            "from salz_tpu.ops.decoder import BatchBlockDecoder\n"
+            "d = BatchBlockDecoder(cap, batch=n)\n"
+            "got = d.decode_many(segs)\n"
+            "assert got == blks, 'device decode mismatch'\n"
+            "t0 = time.perf_counter()\n"
+            "d.decode_many(segs)\n"
+            "dt = time.perf_counter() - t0\n"
+            "print('DDEC_MBPS', sum(len(b) for b in blks) / dt / 1e6)\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", child],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            log(f"decode (device conformance path): TIMEOUT > {timeout_s}s")
+            return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("DDEC_MBPS"):
+            mbps = float(line.split()[1])
+            log(f"decode (device conformance path): {mbps:.3f} MB/s")
+            return mbps
+    tail = (proc.stderr or "")[-500:]
+    log(f"decode (device conformance path): FAILED rc={proc.returncode} {tail}")
+    return None
 
 
 if __name__ == "__main__":

@@ -32,8 +32,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.int32(2**31 - 1)
+_INF = np.int32(2**31 - 1)  # np, not jnp: device-array consts cost ~24 s/lowering via axon
 
 
 def _levels(cap: int) -> int:

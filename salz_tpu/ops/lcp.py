@@ -39,6 +39,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,7 +48,7 @@ from salz_tpu.ops.rowops import T as _T
 from salz_tpu.ops.rowops import W as _RW
 from salz_tpu.ops.rowops import Row512, pick_br
 
-_INF = jnp.int32(2**30)
+_INF = np.int32(2**30)  # np, not jnp: device-array consts cost ~24 s/lowering via axon
 _INT_INF = 2**30
 _C = 128
 _LOGC = 7

@@ -41,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -48,7 +49,7 @@ from salz_tpu.format import FACTOR_LENGTH_MIN, VNIBBLE_THRESHOLDS
 
 # Large-but-safe sentinel: INF + INF and INF + real cost must stay < 2^31
 # (they appear transiently in the fixpoint before convergence).
-_INF = jnp.int32(2**28)
+_INF = np.int32(2**28)  # np, not jnp: device-array consts cost ~24 s/lowering via axon
 _INT_INF = 2**28  # plain-int twin for Pallas kernels (no captured consts)
 
 _SUP = 2048  # positions per grid step

@@ -42,8 +42,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.int32(1 << 26)  # sorts-last flag; ranks/positions < 2^24 <= cap
+_BIG = np.int32(1 << 26)  # np, not jnp: device-array consts cost ~24 s/lowering via axon  # sorts-last flag; ranks/positions < 2^24 <= cap
 
 
 def ckpt_rows(cap: int) -> int:
