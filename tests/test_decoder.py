@@ -87,3 +87,44 @@ def test_batch_decode_with_empty_lanes():
     dec = BatchBlockDecoder(1 << 15, batch=8)  # 3 real + 5 empty lanes
     got = dec.decode_many(segs)
     assert got == blocks
+
+
+def test_device_decode_64k_cap_real_text():
+    """Pin the two-phase decoder at a 64 KiB cap (the old suite stopped at
+    1 KiB, which is why the speculative-copy blowup at big caps was only
+    seen on hardware). Real text exercises mixed literal/factor tokens and
+    multi-level copy chains through the pointer-doubling phase."""
+    import jax.numpy as jnp
+
+    cap = 1 << 16
+    data = (
+        open("/usr/share/doc/libgnutls30/copyright", "rb").read() * 3
+    )[:cap]
+    seg = oc.encode_block(data)
+    sc = fmt.encoded_len_max(cap)
+    buf = np.zeros(sc, np.uint8)
+    buf[: len(seg)] = np.frombuffer(seg, np.uint8)
+    out, out_len, status = decode_block_device(
+        jnp.asarray(buf), jnp.int32(len(seg)), seg_cap=sc, out_cap=cap
+    )
+    assert int(status) == 0
+    assert bytes(np.asarray(out)[: int(out_len)]) == data
+
+
+def test_device_decode_deep_overlap_chain():
+    """A self-overlapping run (offs=1) the length of the block: the copy
+    chain is as deep as the output, so pointer doubling must take its full
+    log2(cap) rounds rather than the typical early exit."""
+    import jax.numpy as jnp
+
+    cap = 4096
+    data = b"\xab" * cap
+    seg = oc.encode_block(data)
+    sc = fmt.encoded_len_max(cap)
+    buf = np.zeros(sc, np.uint8)
+    buf[: len(seg)] = np.frombuffer(seg, np.uint8)
+    out, out_len, status = decode_block_device(
+        jnp.asarray(buf), jnp.int32(len(seg)), seg_cap=sc, out_cap=cap
+    )
+    assert int(status) == 0
+    assert bytes(np.asarray(out)[: int(out_len)]) == data
