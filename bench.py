@@ -99,15 +99,14 @@ def main() -> None:
     log(f"corpus: {len(corpus)} bytes, {len(blocks)} blocks of <= {cap}")
     log(f"devices: {jax.devices()}")
 
-    # ---- native single-thread baseline on a subset spanning the corpus
-    # (text + source + binary regimes, not just the first file)
-    stride = max(1, len(blocks) // 4)
-    sub = blocks[::stride][:4] or blocks[:1]
+    # ---- native single-thread baseline over the FULL block set: a 4-block
+    # stride subset swung the measured baseline 6.8-9.9 MB/s run to run
+    # (the corpus regimes differ 3x), which made vs_baseline noise.
     t0 = time.perf_counter()
-    native_segs = [native.encode_block(b) for b in sub]
+    native_segs = [native.encode_block(b) for b in blocks]
     native_dt = time.perf_counter() - t0
-    native_mbps = sum(len(b) for b in sub) / native_dt / 1e6
-    log(f"native baseline: {native_mbps:.2f} MB/s")
+    native_mbps = sum(len(b) for b in blocks) / native_dt / 1e6
+    log(f"native baseline: {native_mbps:.2f} MB/s (all {len(blocks)} blocks)")
 
     # ---- device throughput
     padded, lens = pad_blocks(blocks, cap)
@@ -120,10 +119,16 @@ def main() -> None:
     lens = lens.reshape(nbatches, batch)
 
     def run_all():
+        # Issue ALL host->device transfers up front (async): the axon tunnel
+        # moves ~40 MB/s, so a blocking 8 MB upload per batch serializes
+        # ~216 ms against ~1.1 s of compute; prefetching overlaps all but
+        # the first.
+        dev_blocks = [jax.device_put(padded[i]) for i in range(nbatches)]
+        dev_lens = [jax.device_put(lens[i]) for i in range(nbatches)]
         outs_lens = []
         for i in range(nbatches):
             o, ol, sl = encode_blocks_device(
-                jnp.asarray(padded[i]), jnp.asarray(lens[i]), cap=cap
+                dev_blocks[i], dev_lens[i], cap=cap
             )
             outs_lens.append((o, ol))
         # Honest sync: device_get of one element of every batch's output —
@@ -155,7 +160,7 @@ def main() -> None:
             if nblk >= len(blocks):
                 break
             seg = bytes(o[j][: int(ol[j])])
-            ref = native.encode_block(blocks[nblk])
+            ref = native_segs[nblk]
             assert seg == ref, f"device stream != reference (block {nblk})"
             assert native.decode_block(seg, cap) == blocks[nblk], (
                 f"roundtrip failed (block {nblk})"

@@ -124,11 +124,14 @@ def _descend_ladder(ckpt, rmax, nb, vrow, a, b, l0, vmask, *, cap: int):
     row is all-distinct so any match is < its prefix length). Resolves down
     to a remainder < 16 (finish with _tail16)."""
     B, m = a.shape
+    Bc = ckpt.shape[0]  # TRUE block count — a/vrow may be a pooled (1, MG)
+    # cross-block bucket whose vrow entries address any block's row, so the
+    # slice must cover every block, not a.shape[0] rows.
 
     def body(t, l):
         r = rmax - 2 - t
         tab = jax.lax.dynamic_slice(
-            ckpt, (0, r, 0), (B, 1, ckpt.shape[2])
+            ckpt, (0, r, 0), (Bc, 1, ckpt.shape[2])
         ).reshape(-1)
         h = jnp.int32(1) << (2 * r + 4)
         for _ in range(3):
@@ -227,20 +230,30 @@ def adjacent_lcp_batch(
 
     survivor = valid_k & (l32 >= 32) & (limit > 32)
     count = jnp.sum(survivor.astype(jnp.int32), axis=1)
-    max_count = jnp.max(count)
-    M_TINY = max(cap // 128, 512)  # text/binary: ~0.6% survivors measured
+    B_ = survivor.shape[0]
+    off_sv = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(count)])
+    # pooled tiny bucket, sized by the BATCH total (~0.6-1.4% survivors
+    # measured on source/binary corpora)
+    M_TINY = max(B_ * cap // 128, 1024)
 
     slot_iota = jnp.broadcast_to(idx, (B, cap)) + (sa - sa)
     flagbit = jnp.int32(1 << 26)
 
-    def _resolve(qa, qb, vmask):
+    def _resolve(qa, qb, vmask, vrow_=None, nb_=None):
+        # vrow_/nb_ override the per-block row bases with PER-ELEMENT ones
+        # for the cross-block pooled buckets (same trick as ansv_tpu's
+        # global pools: a rung sized by the batch TOTAL instead of the max).
+        vr = vrow if vrow_ is None else vrow_
+        nn = nb if nb_ is None else nb_
         l0 = jnp.where(vmask, jnp.full(qa.shape, 32, jnp.int32), 0)
-        l1 = _descend_ladder(ckpt, rmax, nb, vrow, qa, qb, l0, vmask, cap=cap)
-        return l1 + _tail16(t32f, nb, vrow, qa, qb, l1, vmask, cap=cap)
+        l1 = _descend_ladder(ckpt, rmax, nn, vr, qa, qb, l0, vmask, cap=cap)
+        return l1 + _tail16(t32f, nn, vr, qa, qb, l1, vmask, cap=cap)
 
     def tiny_path(_):
-        """Few survivors: compact them all into one bucket and descend."""
-        M = M_TINY
+        """Few survivors overall: compact them into ONE cross-block pooled
+        bucket (sized by the batch total — a per-block bucket gated on the
+        max let one skewed block force the Φ/PLCP machinery on everyone)
+        and descend."""
         _, qk_all, qa_all, qb_all = jax.lax.sort(
             (
                 jnp.where(survivor, 0, 1).astype(jnp.int32), slot_iota,
@@ -249,14 +262,26 @@ def adjacent_lcp_batch(
             num_keys=1,
             dimension=1,
         )
-        qk = jnp.clip(qk_all[:, :M], 0, cap - 1)
-        validb = jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
-        l1 = _resolve(qa_all[:, :M], qb_all[:, :M], validb)
-        flat = jnp.where(validb, vrow + qk, B * cap)
+        g = jnp.arange(M_TINY, dtype=jnp.int32)
+        bq = jnp.clip(
+            jnp.searchsorted(off_sv[1:], g, side="right").astype(jnp.int32),
+            0, B - 1,
+        )
+        li = g - off_sv[bq]
+        validg = (g < off_sv[B])[None, :]
+        gsrc = bq * cap + jnp.clip(li, 0, cap - 1)
+        qk = jnp.clip(qk_all.reshape(-1)[gsrc], 0, cap - 1)
+        qa = qa_all.reshape(-1)[gsrc][None, :]
+        qb = qb_all.reshape(-1)[gsrc][None, :]
+        l1 = _resolve(
+            qa, qb, validg,
+            vrow_=(bq * cap)[None, :], nb_=n[bq][None, :],
+        )
+        flat = jnp.where(validg[0], bq * cap + qk, B * cap)
         return (
             lcp_free.reshape(-1)
-            .at[flat.reshape(-1)]
-            .set(l1.reshape(-1), mode="drop")
+            .at[flat]
+            .set(l1[0], mode="drop")
             .reshape(B, cap)
         )
 
@@ -311,7 +336,9 @@ def adjacent_lcp_batch(
         )
         need = surv_tb & (~red | prev_nonsurv)
         cnt_ir = jnp.sum(need.astype(jnp.int32), axis=1)
-        max_ir = jnp.max(cnt_ir)
+        off_ir = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_ir)]
+        )
 
         fused = jnp.where(need, slot_iota, slot_iota | flagbit)
         fused_s, qphi_all = jax.lax.sort((fused, phi_t), num_keys=1, dimension=1)
@@ -327,16 +354,36 @@ def adjacent_lcp_batch(
             _, lcp_slot = jax.lax.sort((rank_t, plcp), num_keys=1, dimension=1)
             return jnp.where(valid_k, lcp_slot, 0)
 
-        def ir_bucket(M: int):
+        def ir_pool(MG: int):
+            """Cross-block POOLED descent bucket: the per-block buckets were
+            gated on max(cnt_ir) over the batch, so one skewed block (ELF
+            blocks with fragmented Φ runs) dragged all 8 blocks to a cap/8
+            bucket — measured 298 ms adjacent-LCP on the binary corpus vs
+            128 ms on text. Pool rungs sized by the batch TOTAL instead
+            (cumsum offsets + binary-searched block ids, the ansv_tpu
+            pattern)."""
+
             def fn(_):
-                qi = jnp.clip(qi_all[:, :M], 0, cap - 1)
-                vm = jnp.arange(M, dtype=jnp.int32)[None, :] < cnt_ir[:, None]
-                l1 = _resolve(qphi_all[:, :M], qi, vm)
-                flat = jnp.where(vm, vrow + qi, B * cap)
+                g = jnp.arange(MG, dtype=jnp.int32)
+                bq = jnp.clip(
+                    jnp.searchsorted(
+                        off_ir[1:], g, side="right"
+                    ).astype(jnp.int32),
+                    0, B - 1,
+                )
+                li = g - off_ir[bq]
+                validg = (g < off_ir[B])[None, :]
+                gsrc = bq * cap + jnp.clip(li, 0, cap - 1)
+                qi = jnp.clip(qi_all.reshape(-1)[gsrc], 0, cap - 1)[None, :]
+                qphi = qphi_all.reshape(-1)[gsrc][None, :]
+                vrow_g = (bq * cap)[None, :]
+                nb_g = n[bq][None, :]
+                l1 = _resolve(qphi, qi, validg, vrow_=vrow_g, nb_=nb_g)
+                flat = jnp.where(validg[0], bq * cap + qi[0], B * cap)
                 plcp0 = (
                     free_t.reshape(-1)
-                    .at[flat.reshape(-1)]
-                    .set(l1.reshape(-1), mode="drop")
+                    .at[flat]
+                    .set(l1[0], mode="drop")
                     .reshape(B, cap)
                 )
                 return finish(plcp0)
@@ -347,24 +394,31 @@ def adjacent_lcp_batch(
             l1 = _resolve(phi_t, slot_iota, need)
             return finish(jnp.where(need, l1, free_t))
 
-        M_IR1 = max(cap // 128, 512)
-        M_IR2 = max(cap // 32, 512)
-        M_IR3 = max(cap // 8, 512)
+        # Pool rungs on the batch TOTAL. Measured irreducible-survivor
+        # rates: ELF binaries ~0.04% of n, license text ~0.5% (5.4K per
+        # 1 MiB block); /1024 catches binaries, /128 catches text exactly
+        # (the old per-block cap/128 bucket in aggregate), /32 absorbs
+        # repeat-pathological blocks; adversarial inputs fall through to
+        # the full-width descent.
+        G0 = max(B * cap // 1024, 1024)
+        G1 = max(B * cap // 128, 2048)
+        G2 = max(B * cap // 32, 4096)
+        tot_ir = off_ir[B]
         return jax.lax.cond(
-            max_ir <= M_IR1,
-            ir_bucket(M_IR1),
+            tot_ir <= G0,
+            ir_pool(G0),
             lambda _: jax.lax.cond(
-                max_ir <= M_IR2,
-                ir_bucket(M_IR2),
+                tot_ir <= G1,
+                ir_pool(G1),
                 lambda _: jax.lax.cond(
-                    max_ir <= M_IR3, ir_bucket(M_IR3), ir_full, 0
+                    tot_ir <= G2, ir_pool(G2), ir_full, 0
                 ),
                 0,
             ),
             0,
         )
 
-    return jax.lax.cond(max_count <= M_TINY, tiny_path, plcp_path, 0)
+    return jax.lax.cond(off_sv[B_] <= M_TINY, tiny_path, plcp_path, 0)
 
 
 # ---------------------------------------------------------------------------

@@ -131,7 +131,6 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     in_text = idx < nb
     byte = jnp.where(in_text, blocks.astype(jnp.int32), 0)
     packs = _packed_prefixes_batch(blocks, ns, cap=cap)
-    bbase = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
 
     # ---- fused initial rounds: 16-byte ranks (= level 4, ckpt row 0) from
     # ONE 6-key sort of 3-symbol-packed keys (27 bits each; symbol 16 alone
@@ -172,9 +171,17 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     mrow0 = jnp.sum(act16_s.astype(jnp.int32), axis=1)
     rows0 = jnp.where(mrow0 == 0, jnp.int32(1), jnp.int32(0))
 
-    M = min(cap, max(cap // 8, 512))  # compacted-phase rung
-    # phase 1 runs down to the rung, or (tiny caps, M == cap) to completion
-    thresh = M if M < cap else 0
+    # Compacted-phase pool rungs: ONE cross-block pool sized by the BATCH
+    # total, chain-narrowing by 4x (a per-block cap/8 rung paid B*cap/8
+    # sort+gather lanes per round no matter the data; measured ELF-binary
+    # blocks enter phase 2 at ~6.3% active and are ~1% two rounds later).
+    MGs = []
+    g = max(B * cap // 8, 1024)
+    while g < B * cap and g >= 1024 and len(MGs) < 4:
+        MGs.append(g)
+        g //= 4
+    # phase 1 runs down to the first rung, or (tiny pools) to completion
+    thresh = MGs[0] if MGs else 0
 
     def _shifted_rank(rank, h):
         """rank[i + h] in text order (-1 past n), h dynamic up to 3*cap."""
@@ -223,95 +230,154 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
 
     def full_cond(state):
         _, _, _, _, mrow, _, rd = state
-        return (jnp.max(mrow) > thresh) & (rd < R)
+        return (jnp.sum(mrow) > thresh) & (rd < R)
 
     rank, ckpt, act_s, perm_s, mrow, rows_out, rd = jax.lax.while_loop(
         full_cond, full_body,
         (rank16, ckpt0, act16_s, perm16, mrow0, rows0, jnp.int32(1)),
     )
 
-    # ---------------- phase 2: compacted rounds at rung M -------------------
-    # Extract the active set once (group-contiguous, SA order): one fused-key
-    # full-width sort; thereafter every round is M-wide. Head-index ranks
-    # make rounds idempotent for resolved lanes, so no per-lane masking.
-    if M < cap:
+    # ------------- phase 2: POOLED compacted rounds, chained rungs ----------
+    # The active sets of ALL blocks are regathered into ONE cross-block pool
+    # (cumsum offsets + searchsorted block ids — the ansv_tpu/lcp global-pool
+    # pattern). Keys are FLAT (bq*cap + value) so blocks stay separated in
+    # sorts, and the pool CHAIN-NARROWS: each rung's loop exits as soon as
+    # the live total fits the 4x-smaller rung, whose while_loop then resumes
+    # (a skipped rung's loop body never executes — zero cost). Head-index
+    # ranks make rounds idempotent for resolved lanes, so no per-lane
+    # masking beyond the live sentinel.
+    if MGs:
         # Extract the active set from the SA-order flags: slots are rank
-        # order, so compacting by slot keeps groups contiguous ascending;
-        # the ranks themselves come from one M-wide gather.
+        # order, so compacting by slot keeps groups contiguous ascending.
         key = jnp.where(act_s, idx, idx | _BIG)
         _, apos0 = jax.lax.sort((key, perm_s), num_keys=1, dimension=1)
-        apos0 = apos0[:, :M]
-        ra0 = rank.reshape(-1)[
-            (bbase + jnp.clip(apos0, 0, cap - 1)).reshape(B, M)
-        ]
-        col = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-        bbM = bbase  # (B, 1)
-
-        def comp_body(state):
-            rank, ckpt, apos, ra, mrow, rows_out, rd = state
-            m = jnp.int32(1) << (2 * rd + 2)
-            valid = col < mrow[:, None]
-            rankf = rank.reshape(-1)
-
-            def rgat(h):
-                pos2 = apos + h
-                r = rankf[(bbM + jnp.clip(pos2, 0, cap - 1)).reshape(B, M)]
-                return jnp.where(valid & (pos2 < nb), r, jnp.int32(-1))
-
-            r2 = rgat(m)
-            r3 = rgat(2 * m)
-            r4 = rgat(3 * m)
-            ra_in = jnp.where(valid, ra, _BIG)
-            ra_s, r2_s, r3_s, r4_s, pos_s = jax.lax.sort(
-                (ra_in, r2, r3, r4, apos), num_keys=4, dimension=1
-            )
-            ghead = jnp.concatenate(
-                [jnp.ones((B, 1), jnp.bool_), ra_s[:, 1:] != ra_s[:, :-1]], 1
-            )
-            diff = (
-                (r2_s[:, 1:] != r2_s[:, :-1])
-                | (r3_s[:, 1:] != r3_s[:, :-1])
-                | (r4_s[:, 1:] != r4_s[:, :-1])
-            )
-            head = ghead | jnp.concatenate(
-                [jnp.ones((B, 1), jnp.bool_), diff], 1
-            )
-            p0 = jax.lax.cummax(jnp.where(ghead, col, jnp.int32(-1)), axis=1)
-            glob = ra_s + (col - p0)  # this element's final SA slot candidate
-            newr = jax.lax.cummax(jnp.where(head, glob, jnp.int32(-1)), axis=1)
-            valid_s = col < mrow[:, None]
-            flat = jnp.where(
-                valid_s, (bbM + pos_s).reshape(B, M), jnp.int32(B * cap)
-            )
-            rank = (
-                rankf
-                .at[flat.reshape(-1)]
-                .set(newr.reshape(-1), mode="drop")
-                .reshape(B, cap)
-            )
-            ckpt = jax.lax.dynamic_update_slice(
-                ckpt, rank[:, None, :], (0, rd, 0)
-            )
-            nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
-            act2 = (~(head & nxt)) & valid_s
-            key2 = jnp.where(act2, glob, _BIG)
-            _, apos_n, ra_n = jax.lax.sort(
-                (key2, pos_s, newr), num_keys=1, dimension=1
-            )
-            mrow_new = jnp.sum(act2.astype(jnp.int32), axis=1)
-            rows_out = jnp.where(
-                (mrow > 0) & (mrow_new == 0), rd + 1, rows_out
-            )
-            return rank, ckpt, apos_n, ra_n, mrow_new, rows_out, rd + 1
-
-        def comp_cond(state):
-            _, _, _, _, mrow, _, rd = state
-            return (jnp.max(mrow) > 0) & (rd < R)
-
-        rank, ckpt, _, _, mrow, rows_out, rd = jax.lax.while_loop(
-            comp_cond, comp_body,
-            (rank, ckpt, apos0, ra0, mrow, rows_out, rd),
+        off = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(mrow)]
         )
+        tot0 = off[B]
+        BIGG = jnp.int32(1 << 29)  # > any flat key bq*cap + v (< 2^28)
+        apos0f = apos0.reshape(-1)
+        rankf0 = rank.reshape(-1)
+
+        MG0 = MGs[0]
+        g0 = jnp.arange(MG0, dtype=jnp.int32)
+        bq0 = jnp.clip(
+            jnp.searchsorted(off[1:], g0, side="right").astype(jnp.int32),
+            0, B - 1,
+        )
+        li0 = g0 - off[bq0]
+        live0 = g0 < tot0
+        p0_ = apos0f[bq0 * cap + jnp.clip(li0, 0, cap - 1)]
+        fpos0 = jnp.where(live0, bq0 * cap + p0_, jnp.int32(B * cap))
+        fra0 = jnp.where(
+            live0,
+            bq0 * cap + rankf0[jnp.clip(fpos0, 0, B * cap - 1)],
+            BIGG,
+        )
+
+        nflat = ns  # (B,) valid lengths, indexed by derived block id
+
+        def make_comp(MG: int, next_thresh: int):
+            col = jnp.arange(MG, dtype=jnp.int32)[None, :]
+
+            def comp_body(state):
+                rank, ckpt, fpos, fra, mrow, rows_out, rd, tot = state
+                m = jnp.int32(1) << (2 * rd + 2)
+                rankf = rank.reshape(-1)
+                live = fpos < B * cap
+                bq = jnp.clip(fpos // cap, 0, B - 1)
+                pos = fpos - bq * cap
+
+                def rgat(h):
+                    p2 = pos + h
+                    ok = live & (p2 < nflat[bq])
+                    r = rankf[jnp.clip(bq * cap + p2, 0, B * cap - 1)]
+                    return jnp.where(ok, r, jnp.int32(-1))[None, :]
+
+                r2 = rgat(m)
+                r3 = rgat(2 * m)
+                r4 = rgat(3 * m)
+                key_in = jnp.where(live, fra, BIGG)[None, :]
+                key_s, r2_s, r3_s, r4_s, fpos_s = jax.lax.sort(
+                    (key_in, r2, r3, r4, fpos[None, :]),
+                    num_keys=4, dimension=1,
+                )
+                one = jnp.ones((1, 1), jnp.bool_)
+                ghead = jnp.concatenate(
+                    [one, key_s[:, 1:] != key_s[:, :-1]], 1
+                )
+                diff = (
+                    (r2_s[:, 1:] != r2_s[:, :-1])
+                    | (r3_s[:, 1:] != r3_s[:, :-1])
+                    | (r4_s[:, 1:] != r4_s[:, :-1])
+                )
+                head = ghead | jnp.concatenate([one, diff], 1)
+                pcol = jax.lax.cummax(
+                    jnp.where(ghead, col, jnp.int32(-1)), axis=1
+                )
+                # flat final-SA-slot candidate; groups never span blocks
+                # because the key embeds the block id.
+                glob = key_s + (col - pcol)
+                newr_f = jax.lax.cummax(
+                    jnp.where(head, glob, jnp.int32(-1)), axis=1
+                )
+                live_s = fpos_s < B * cap
+                bq_s = jnp.clip(fpos_s // cap, 0, B - 1)
+                newr_local = newr_f - bq_s * cap
+                rank = (
+                    rankf
+                    .at[jnp.where(live_s, fpos_s, B * cap)[0]]
+                    .set(newr_local[0], mode="drop")
+                    .reshape(B, cap)
+                )
+                ckpt = jax.lax.dynamic_update_slice(
+                    ckpt, rank[:, None, :], (0, rd, 0)
+                )
+                nxt = jnp.concatenate([head[:, 1:], one], 1)
+                act2 = (~(head & nxt)) & live_s
+                # Stable sort by the new flat rank compacts the still-active
+                # set group-contiguous ascending (ties keep glob order), and
+                # the sorted key IS the next round's fra — one payload only.
+                key2 = jnp.where(act2, newr_f, BIGG)
+                fra_n, fpos_n = jax.lax.sort(
+                    (key2, jnp.where(act2, fpos_s, B * cap)),
+                    num_keys=1, dimension=1,
+                )
+                dcount = (
+                    jnp.zeros(B + 1, jnp.int32)
+                    .at[jnp.where(act2, bq_s, B)[0]]
+                    .add(1, mode="drop")
+                )
+                mrow_new = dcount[:B]
+                rows_out = jnp.where(
+                    (mrow > 0) & (mrow_new == 0), rd + 1, rows_out
+                )
+                return (
+                    rank, ckpt, fpos_n[0], fra_n[0], mrow_new, rows_out,
+                    rd + 1, jnp.sum(mrow_new),
+                )
+
+            def comp_cond(state):
+                tot = state[-1]
+                rd = state[-2]
+                return (tot > next_thresh) & (rd < R)
+
+            return comp_cond, comp_body
+
+        state = (rank, ckpt, fpos0, fra0, mrow, rows_out, rd, tot0)
+        for gi, MG in enumerate(MGs):
+            next_thresh = MGs[gi + 1] if gi + 1 < len(MGs) else 0
+            if gi > 0:
+                # narrow: the pool is compacted ascending after every round,
+                # and the loop above exited with tot <= MG, so the live set
+                # is entirely inside the first MG lanes.
+                rank, ckpt, fpos, fra, mrow, rows_out, rd, tot = state
+                state = (
+                    rank, ckpt, fpos[:MG], fra[:MG], mrow, rows_out, rd, tot
+                )
+            cond, body = make_comp(MG, next_thresh)
+            state = jax.lax.while_loop(cond, body, state)
+        rank, ckpt, _, _, mrow, rows_out, rd, _ = state
 
     n_rows = jnp.where(mrow > 0, rd, rows_out)
     # rank is now a permutation of [0, cap); invert via sort, carrying the
