@@ -88,7 +88,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from salz_tpu.ops.encoder import encode_blocks_device
+    from salz_tpu.ops.encoder import encode_blocks_device_staged
     from salz_tpu.parallel.sharding import pad_blocks
 
     cap = fmt.block_size_for_level(level)
@@ -127,7 +127,7 @@ def main() -> None:
         dev_lens = [jax.device_put(lens[i]) for i in range(nbatches)]
         outs_lens = []
         for i in range(nbatches):
-            o, ol, sl = encode_blocks_device(
+            o, ol, sl = encode_blocks_device_staged(
                 dev_blocks[i], dev_lens[i], cap=cap
             )
             outs_lens.append((o, ol))

@@ -50,16 +50,25 @@ def encode_blocks_device(
         reference's capacity-abort by erroring when salz_len > dst_cap
         (FORMAT.md §1.2).
     """
-    ns = block_lens - TAIL_RESERVE
-    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    return encode_blocks_device_staged(
+        blocks, block_lens, cap=cap, parse=parse
+    )
 
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _stage_sa(blocks, block_lens, *, cap: int):
+    """Valid-length derivation + suffix array (one staged dispatch)."""
+    ns = block_lens - TAIL_RESERVE
     sa, ckpt, n_levels, t32, p32 = suffix_array_prefixes_batch(
         blocks, ns, cap=cap
     )
+    return ns, sa, ckpt, n_levels, t32, p32
 
-    # Slot-order middle stages (ANSV, adjacent LCPs, candidate range-mins),
-    # then ONE sort carries everything to text order (sorts beat scatters
-    # and per-stage gathers on TPU).
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _stage_mid(sa, ckpt, n_levels, t32, p32, ns, *, cap: int):
+    """ANSV + adjacent LCP + candidate range-mins + the slot->text sort."""
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     valid = idx < ns[:, None]
     vals = jnp.where(valid, sa, jnp.int32(2**31 - 1))
     (lslot, psv_val, rslot, nsv_val), buckets = ansv_slots_vals_batch(
@@ -75,10 +84,28 @@ def encode_blocks_device(
         num_keys=1,
         dimension=1,
     )
-
-    psv_offs = idx - psv_pos  # = pos+1 when absent, mirroring salz.c:555
+    psv_offs = idx - psv_pos
     nsv_offs = idx - nsv_pos
+    return psv_offs, psv_len, nsv_offs, nsv_len
 
+
+def encode_blocks_device_staged(
+    blocks, block_lens, *, cap: int, parse: str = "chunked"
+):
+    """encode_blocks_device as FOUR separately-jitted stage dispatches.
+
+    Byte-identical to the fused program (same stage functions, same glue),
+    but each stage compiles as its own XLA module: the fused 1 MiB program
+    hit a superlinear XLA compile (>40 min on the axon compile server)
+    while its stages compile in ~1-2 min each — and an edit to one stage
+    re-uses every other stage's persistent-cache entry. Dispatch is async,
+    so the extra host->device call boundaries hide behind the ~1 s of
+    device compute per batch. Use the fused entry point inside jit/shard_map
+    contexts (this one is host-driven on purpose)."""
+    ns, sa, ckpt, n_levels, t32, p32 = _stage_sa(blocks, block_lens, cap=cap)
+    psv_offs, psv_len, nsv_offs, nsv_len = _stage_mid(
+        sa, ckpt, n_levels, t32, p32, ns, cap=cap
+    )
     if parse == "chunked":
         chunk = min(512, cap)
         offs, length, _ = optimal_parse_chunked_batch(
@@ -90,7 +117,6 @@ def encode_blocks_device(
                 po, pl_, no, nl_, n, cap=cap
             )
         )(psv_offs, psv_len, nsv_offs, nsv_len, ns)
-
     return emit_stream_batch(blocks, block_lens, offs, length, cap=cap)
 
 
@@ -197,7 +223,7 @@ class BatchBlockEncoder:
             for j, i in enumerate(group):
                 padded[j, : len(blocks[i])] = np.frombuffer(blocks[i], np.uint8)
                 lens[j] = len(blocks[i])
-            out, out_len, salz_len = encode_blocks_device(
+            out, out_len, salz_len = encode_blocks_device_staged(
                 jnp.asarray(padded),
                 jnp.asarray(lens),
                 cap=cap_c,

@@ -96,6 +96,39 @@ def _packed_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     return [_pack(4 * w) for w in range(8)]
 
 
+def _pack_keys(ks, widths):
+    """Pack non-negative fields (ks[i] < 2^widths[i]) into 30-bit words.
+
+    The fields are concatenated MSB-first into one bitstring and split into
+    30-bit chunks (int32-safe), so lexicographic order on the word tuple
+    equals lexicographic order on the field tuple. Sort cost scales ~1 ns/
+    elem per operand array, so fewer, denser keys are a direct win (a
+    radix-4 round's 4 rank keys fit 3 words for caps <= 2 MiB; the initial
+    16-byte sort's 6 symbol keys fit 5)."""
+    total = sum(widths)
+    nw = (total + 29) // 30
+    offs = []
+    o = 0
+    for w in widths:
+        offs.append(o)
+        o += w
+    out = []
+    for w in range(nw):
+        lo = 30 * w
+        hi = lo + 30
+        acc = None
+        for i, k in enumerate(ks):
+            s, e = offs[i], offs[i] + widths[i]
+            ov_lo, ov_hi = max(lo, s), min(hi, e)
+            if ov_lo >= ov_hi:
+                continue
+            field = (k >> (e - ov_hi)) & ((1 << (ov_hi - ov_lo)) - 1)
+            piece = field << (hi - ov_hi)
+            acc = piece if acc is None else acc | piece
+        out.append(acc if acc is not None else jnp.zeros_like(ks[0]))
+    return out
+
+
 def _heads_to_rank(head: jax.Array) -> jax.Array:
     """Head-index rank per sorted slot: the slot of its run's first member."""
     B, cap = head.shape
@@ -149,8 +182,12 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     keyA = jnp.where(in_text, _pack3(0), (1 << 27) + idx)  # sentinels last
     keys_rest = [jnp.where(in_text, _pack3(k), 0) for k in (3, 6, 9, 12)]
     keyF = jnp.where(in_text, _sym(15), 0)
+    # 145 key bits packed into five 30-bit words (one array fewer to sort).
+    packed16 = _pack_keys(
+        [keyA, *keys_rest, keyF], [28, 27, 27, 27, 27, 9]
+    )
     sorted16 = jax.lax.sort(
-        (keyA, *keys_rest, keyF, idx), num_keys=6, dimension=1
+        (*packed16, idx), num_keys=len(packed16), dimension=1
     )
     perm16 = sorted16[-1]
     eq = jnp.ones((B, cap - 1), jnp.bool_)
@@ -197,21 +234,26 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     # head-index ranks of the m-prefixes IS comparison of the 4m-prefix
     # (with -1 sentinels ordering truncated suffixes first). Result: ckpt
     # row rd = ranks of prefix 4m.
+    KB = cap.bit_length()  # rank+1 in [0, cap]; 2^bit_length(cap) > cap
+
     def full_body(state):
         rank, ckpt, act_s, perm_s, mrow, rows_out, rd = state
         m = jnp.int32(1) << (2 * rd + 2)
         r2 = _shifted_rank(rank, m)
         r3 = _shifted_rank(rank, 2 * m)
         r4 = _shifted_rank(rank, 3 * m)
-        k1, k2, k3, k4, perm = jax.lax.sort(
-            (rank, r2, r3, r4, idx), num_keys=4, dimension=1
+        if 4 * KB <= 90:  # 4 rank keys fit 3 packed words (caps <= 2 MiB)
+            keys = _pack_keys(
+                [rank + 1, r2 + 1, r3 + 1, r4 + 1], [KB] * 4
+            )
+        else:
+            keys = [rank, r2, r3, r4]
+        *ks, perm = jax.lax.sort(
+            (*keys, idx), num_keys=len(keys), dimension=1
         )
-        diff = (
-            (k1[:, 1:] != k1[:, :-1])
-            | (k2[:, 1:] != k2[:, :-1])
-            | (k3[:, 1:] != k3[:, :-1])
-            | (k4[:, 1:] != k4[:, :-1])
-        )
+        diff = jnp.zeros((B, cap - 1), jnp.bool_)
+        for kk in ks:
+            diff = diff | (kk[:, 1:] != kk[:, :-1])
         head = jnp.concatenate([jnp.ones((B, 1), jnp.bool_), diff], axis=1)
         new_rank_s = _heads_to_rank(head)
         nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
