@@ -139,8 +139,18 @@ def main() -> int:
 
     results = []
     base = None
+    ncpu = os.cpu_count() or 1
     for n in [int(x) for x in args.procs.split(",")]:
-        r = run_n(n, args)
+        if n > ncpu:
+            print(f"N={n}: skipped (only {ncpu} cores; one pinned core "
+                  "per process)", flush=True)
+            continue
+        try:
+            r = run_n(n, args)
+        except Exception as e:
+            # Record what we have rather than losing the whole artifact.
+            print(f"N={n}: FAILED ({e})", flush=True)
+            continue
         if base is None:
             base = r["MB_s"]
         r["efficiency"] = round(r["MB_s"] / (base * r["N"]), 4)
