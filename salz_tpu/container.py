@@ -82,6 +82,12 @@ class Codec:
     encode_blocks_status: Callable[[list, int], tuple] | None = None
     #: optional batched decode path: (segments, block_size) -> blocks
     decode_blocks: Callable[[list, int], list] | None = None
+    #: device-batch width of the throughput path: the stream loop holds this
+    #: many blocks before flushing so the encoder sees FULL batches (a fixed
+    #: 64-block flush starved level 0/1's 256/128-lane auto-batches to 64
+    #: lanes — 2 MB dispatches paying full per-op overheads, measured 4x
+    #: slower than the 8 MB batch on the same data)
+    batch: int = 64
 
 
 def _decode_fn(decode_engine: str):
@@ -147,7 +153,7 @@ def get_codec(engine, block_size: int | None = None) -> Codec:
         dec, dec_many = _decode_fn(cfg.decode_engine)
         return Codec(
             "jax", enc, dec, benc.encode_many, benc.encode_many_status,
-            dec_many,
+            dec_many, batch=benc.batch,
         )
     raise ValueError(f"unknown engine {cfg.engine!r}")
 
@@ -204,7 +210,7 @@ def _compress_segments(
             write_segment(out, codec.encode_block(block, dst_cap))
             continue
         pending.append(block)
-        if len(pending) >= 64:
+        if len(pending) >= max(codec.batch, 1):
             flush(pending)
             pending = []
     flush(pending)
