@@ -157,6 +157,14 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
             bytes sa[k]+4j .. sa[k]+4j+3.
     """
     B = blocks.shape[0]
+    # Phase-2 flat keys are bq*cap + rank and must sort below the BIGG
+    # (1<<29) dead-lane sentinel; a larger batch*cap would corrupt the SA
+    # silently (ADVICE r4).
+    if B * cap >= (1 << 29):
+        raise ValueError(
+            f"batch*cap = {B * cap} >= 2^29: flat phase-2 sort keys would "
+            "collide with the dead-lane sentinel; use a smaller batch"
+        )
     R = ckpt_rows(cap)
     idx1 = jnp.arange(cap, dtype=jnp.int32)
     idx = jnp.broadcast_to(idx1[None, :], (B, cap))

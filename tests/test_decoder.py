@@ -1,5 +1,7 @@
 """Device decoder tests: roundtrip vs oracle streams + malformed input."""
 
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -97,9 +99,16 @@ def test_device_decode_64k_cap_real_text():
     import jax.numpy as jnp
 
     cap = 1 << 16
-    data = (
-        open("/usr/share/doc/libgnutls30/copyright", "rb").read() * 3
-    )[:cap]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "corpora",
+        "text.bin",
+    )
+    if os.path.exists(path):
+        raw = open(path, "rb").read(cap)
+    else:  # tracked corpora absent: deterministic text-like fallback
+        raw = (b"the quick brown fox jumps over the lazy dog. " * 2048)
+    data = (raw * 3)[:cap]
     seg = oc.encode_block(data)
     sc = fmt.encoded_len_max(cap)
     buf = np.zeros(sc, np.uint8)
