@@ -46,6 +46,16 @@ import numpy as np
 
 _BIG = np.int32(1 << 26)  # np, not jnp: device-array consts cost ~24 s/lowering via axon  # sorts-last flag; ranks/positions < 2^24 <= cap
 
+_POOL_W = 8192  # pooled-round sort row width (multiple of the 1024 rung granule)
+_POOL_F = 1024  # boundary-fixup window radius = max tied-run length for rows path
+
+# Profiling knob (scripts/profile_sa_phases.py): stop the pipeline after a
+# phase and return stubs — lets per-phase device time be measured without
+# duplicating the pipeline. Never set in production.
+import os as _os
+
+_SA_STOP = _os.environ.get("SALZ_SA_STOP", "")
+
 
 def ckpt_rows(cap: int) -> int:
     """Rows of the stored checkpoint ladder: row r holds head-index ranks of
@@ -220,10 +230,23 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     # total, chain-narrowing by 4x (a per-block cap/8 rung paid B*cap/8
     # sort+gather lanes per round no matter the data; measured ELF-binary
     # blocks enter phase 2 at ~6.3% active and are ~1% two rounds later).
+    # Rungs >= 2^17 are rounded to _POOL_W multiples so their sorts can run
+    # as (R, _POOL_W) rows (1.7-2.3 ns/elem) instead of one giant row
+    # (~20 ns/elem, scripts/exp_sort_batch.py).
+    def _ceil_to(x: int, w: int) -> int:
+        return -(-x // w) * w
+
+    # First rung = batch/16: a pooled round at batch/8 lanes costs about a
+    # full-width round (3 gathers + scatter ~40ns/lane vs 6.2ns/elem full),
+    # so entering the pool there saved nothing (round-5 trace).
     MGs = []
-    g = max(B * cap // 8, 1024)
+    g = max(B * cap // 16, 1024)
     while g < B * cap and g >= 1024 and len(MGs) < 4:
-        MGs.append(g)
+        gr = _ceil_to(g, _POOL_W) if g >= (1 << 17) else _ceil_to(g, 1024)
+        if MGs and gr >= MGs[-1]:
+            g //= 4
+            continue
+        MGs.append(gr)
         g //= 4
     # phase 1 runs down to the first rung, or (tiny pools) to completion
     thresh = MGs[0] if MGs else 0
@@ -279,123 +302,166 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
         return new_rank, ckpt, act_srt, perm, mrow_new, rows_out, rd + 1
 
     def full_cond(state):
-        _, _, _, _, mrow, _, rd = state
+        mrow = state[-3]
+        rd = state[-1]
         return (jnp.sum(mrow) > thresh) & (rd < R)
+
+    if _SA_STOP == "init":
+        return rank16, ckpt0, mrow0, mrow0, mrow0  # profiling stub
 
     rank, ckpt, act_s, perm_s, mrow, rows_out, rd = jax.lax.while_loop(
         full_cond, full_body,
         (rank16, ckpt0, act16_s, perm16, mrow0, rows0, jnp.int32(1)),
     )
 
-    # ------------- phase 2: POOLED compacted rounds, chained rungs ----------
+    if _SA_STOP == "phase1":
+        return rank, ckpt, mrow, mrow, rd * jnp.ones_like(mrow)  # profiling stub
+
+    # ------------- phase 2: POOLED rounds, chained rungs --------------------
     # The active sets of ALL blocks are regathered into ONE cross-block pool
     # (cumsum offsets + searchsorted block ids — the ansv_tpu/lcp global-pool
     # pattern). Keys are FLAT (bq*cap + value) so blocks stay separated in
     # sorts, and the pool CHAIN-NARROWS: each rung's loop exits as soon as
-    # the live total fits the 4x-smaller rung, whose while_loop then resumes
-    # (a skipped rung's loop body never executes — zero cost). Head-index
-    # ranks make rounds idempotent for resolved lanes, so no per-lane
-    # masking beyond the live sentinel.
+    # the live total fits the smaller rung, whose while_loop then resumes
+    # (a skipped rung's loop body never executes — zero cost).
+    #
+    # Round-5 redesign (PERFORMANCE.md): the old per-round (1, MG) sorts ran
+    # at ~20 ns/elem — the single-giant-row lax.sort penalty — and a second
+    # (1, MG) compaction sort followed every round. Now
+    #   * RESOLVED lanes RIDE IN PLACE: a resolved lane's key is its final
+    #     flat rank, which is unique, so it forms a singleton group and
+    #     sorts back to its own slot every round (head-index ranks are
+    #     idempotent). No per-round compaction; live lanes are compacted
+    #     once per RUNG SWITCH.
+    #   * the pool stays ascending by key across rounds (new flat ranks are
+    #     cummax of an ascending sequence), and measured tied-run lengths
+    #     collapse past depth 64 (<= 128 on text/source, probe_groups.py),
+    #     so the round sort is a SEGMENTED sort: (R, _POOL_W) row sorts plus
+    #     one merge-sort of the 2*_POOL_F window across each row boundary.
+    #     Exact whenever every tied run fits _POOL_F — a run straddles at
+    #     most one boundary and both fragments sort to the facing row edges
+    #     (they hold the rows' extreme keys) — and guarded per round by the
+    #     measured max run length with a lax.cond fallback to the global
+    #     sort (zero-page-style data keeps 20k-element runs).
     if MGs:
-        # Extract the active set from the SA-order flags: slots are rank
-        # order, so compacting by slot keeps groups contiguous ascending.
-        key = jnp.where(act_s, idx, idx | _BIG)
-        _, apos0 = jax.lax.sort((key, perm_s), num_keys=1, dimension=1)
-        off = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(mrow)]
-        )
-        tot0 = off[B]
         BIGG = jnp.int32(1 << 29)  # > any flat key bq*cap + v (< 2^28)
-        apos0f = apos0.reshape(-1)
-        rankf0 = rank.reshape(-1)
-
-        MG0 = MGs[0]
-        g0 = jnp.arange(MG0, dtype=jnp.int32)
-        bq0 = jnp.clip(
-            jnp.searchsorted(off[1:], g0, side="right").astype(jnp.int32),
-            0, B - 1,
-        )
-        li0 = g0 - off[bq0]
-        live0 = g0 < tot0
-        p0_ = apos0f[bq0 * cap + jnp.clip(li0, 0, cap - 1)]
-        fpos0 = jnp.where(live0, bq0 * cap + p0_, jnp.int32(B * cap))
-        fra0 = jnp.where(
-            live0,
-            bq0 * cap + rankf0[jnp.clip(fpos0, 0, B * cap - 1)],
-            BIGG,
-        )
-
         nflat = ns  # (B,) valid lengths, indexed by derived block id
 
+        def _seg_sort(ops, MG):
+            """Segmented sort of 5 parallel (MG,) arrays by the first 4: the
+            leading key is globally ascending with tied runs <= _POOL_F, so
+            (R, _POOL_W) row sorts + one sort (= merge of two sorted runs)
+            of the 2*_POOL_F window across each row boundary reproduce the
+            global sort exactly (see the phase-2 comment block)."""
+            R = MG // _POOL_W
+            W, F = _POOL_W, _POOL_F
+            rows = jax.lax.sort(
+                tuple(o.reshape(R, W) for o in ops), num_keys=4, dimension=1
+            )
+            if R == 1:
+                return [r.reshape(-1) for r in rows]
+            flats = [r.reshape(-1) for r in rows]
+            spans = jax.lax.sort(
+                tuple(
+                    f[W - F : W - F + (R - 1) * W].reshape(R - 1, W)[:, : 2 * F]
+                    for f in flats
+                ),
+                num_keys=4, dimension=1,
+            )
+            outs = []
+            for f, s in zip(flats, spans):
+                body = f[W - F : W - F + (R - 1) * W].reshape(R - 1, W)
+                body = jax.lax.dynamic_update_slice(body, s, (0, 0))
+                outs.append(
+                    jnp.concatenate(
+                        [f[: W - F], body.reshape(-1), f[W - F + (R - 1) * W :]]
+                    )
+                )
+            return outs
+
+        def _row_sort(ops):
+            return [
+                x[0]
+                for x in jax.lax.sort(
+                    tuple(x[None] for x in ops), num_keys=4, dimension=1
+                )
+            ]
+
         def make_comp(MG: int, next_thresh: int):
-            col = jnp.arange(MG, dtype=jnp.int32)[None, :]
+            col = jnp.arange(MG, dtype=jnp.int32)
+            use_rows = MG >= (1 << 17) and MG % _POOL_W == 0
 
             def comp_body(state):
-                rank, ckpt, fpos, fra, mrow, rows_out, rd, tot = state
+                rank, ckpt, fpos, fkey, act, mrow, rows_out, rd, tot = state
                 m = jnp.int32(1) << (2 * rd + 2)
                 rankf = rank.reshape(-1)
-                live = fpos < B * cap
+                valid = fpos < B * cap
                 bq = jnp.clip(fpos // cap, 0, B - 1)
                 pos = fpos - bq * cap
 
                 def rgat(h):
                     p2 = pos + h
-                    ok = live & (p2 < nflat[bq])
+                    ok = valid & (p2 < nflat[bq])
                     r = rankf[jnp.clip(bq * cap + p2, 0, B * cap - 1)]
-                    return jnp.where(ok, r, jnp.int32(-1))[None, :]
+                    return jnp.where(ok, r, jnp.int32(-1))
 
                 r2 = rgat(m)
                 r3 = rgat(2 * m)
                 r4 = rgat(3 * m)
-                key_in = jnp.where(live, fra, BIGG)[None, :]
-                key_s, r2_s, r3_s, r4_s, fpos_s = jax.lax.sort(
-                    (key_in, r2, r3, r4, fpos[None, :]),
-                    num_keys=4, dimension=1,
+                key_in = jnp.where(valid, fkey, BIGG)
+                # The barrier keeps the three rank gathers OUT of the
+                # lax.cond below: sunk into the branches they run ~3x slower
+                # (21 ms vs 7.5 ms per 1M-lane gather, round-5 trace).
+                ops = jax.lax.optimization_barrier(
+                    (key_in, r2, r3, r4, fpos)
                 )
-                one = jnp.ones((1, 1), jnp.bool_)
-                ghead = jnp.concatenate(
-                    [one, key_s[:, 1:] != key_s[:, :-1]], 1
-                )
+                if use_rows:
+                    # A tied run longer than _POOL_F exists iff two equal
+                    # real keys sit exactly _POOL_F apart (keys ascending):
+                    # one shifted compare, no scan.
+                    long_run = jnp.any(
+                        (key_in[_POOL_F:] == key_in[:-_POOL_F])
+                        & (key_in[_POOL_F:] < BIGG)
+                    )
+                    sorted_ops = jax.lax.cond(
+                        ~long_run,
+                        lambda o: tuple(_seg_sort(list(o), MG)),
+                        lambda o: tuple(_row_sort(list(o))),
+                        ops,
+                    )
+                else:
+                    sorted_ops = tuple(_row_sort(list(ops)))
+                key_s, r2_s, r3_s, r4_s, fpos_s = sorted_ops
+                one = jnp.ones(1, jnp.bool_)
+                ghead = jnp.concatenate([one, key_s[1:] != key_s[:-1]])
                 diff = (
-                    (r2_s[:, 1:] != r2_s[:, :-1])
-                    | (r3_s[:, 1:] != r3_s[:, :-1])
-                    | (r4_s[:, 1:] != r4_s[:, :-1])
+                    (r2_s[1:] != r2_s[:-1])
+                    | (r3_s[1:] != r3_s[:-1])
+                    | (r4_s[1:] != r4_s[:-1])
                 )
-                head = ghead | jnp.concatenate([one, diff], 1)
-                pcol = jax.lax.cummax(
-                    jnp.where(ghead, col, jnp.int32(-1)), axis=1
-                )
+                head = ghead | jnp.concatenate([one, diff])
+                pcol = jax.lax.cummax(jnp.where(ghead, col, jnp.int32(-1)))
                 # flat final-SA-slot candidate; groups never span blocks
                 # because the key embeds the block id.
                 glob = key_s + (col - pcol)
-                newr_f = jax.lax.cummax(
-                    jnp.where(head, glob, jnp.int32(-1)), axis=1
-                )
-                live_s = fpos_s < B * cap
+                newr_f = jax.lax.cummax(jnp.where(head, glob, jnp.int32(-1)))
+                valid_s = fpos_s < B * cap
                 bq_s = jnp.clip(fpos_s // cap, 0, B - 1)
                 newr_local = newr_f - bq_s * cap
                 rank = (
                     rankf
-                    .at[jnp.where(live_s, fpos_s, B * cap)[0]]
-                    .set(newr_local[0], mode="drop")
+                    .at[jnp.where(valid_s, fpos_s, B * cap)]
+                    .set(newr_local, mode="drop")
                     .reshape(B, cap)
                 )
                 ckpt = jax.lax.dynamic_update_slice(
                     ckpt, rank[:, None, :], (0, rd, 0)
                 )
-                nxt = jnp.concatenate([head[:, 1:], one], 1)
-                act2 = (~(head & nxt)) & live_s
-                # Stable sort by the new flat rank compacts the still-active
-                # set group-contiguous ascending (ties keep glob order), and
-                # the sorted key IS the next round's fra — one payload only.
-                key2 = jnp.where(act2, newr_f, BIGG)
-                fra_n, fpos_n = jax.lax.sort(
-                    (key2, jnp.where(act2, fpos_s, B * cap)),
-                    num_keys=1, dimension=1,
-                )
+                nxt = jnp.concatenate([head[1:], one])
+                act2 = (~(head & nxt)) & valid_s
                 dcount = (
                     jnp.zeros(B + 1, jnp.int32)
-                    .at[jnp.where(act2, bq_s, B)[0]]
+                    .at[jnp.where(act2, bq_s, B)]
                     .add(1, mode="drop")
                 )
                 mrow_new = dcount[:B]
@@ -403,8 +469,8 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
                     (mrow > 0) & (mrow_new == 0), rd + 1, rows_out
                 )
                 return (
-                    rank, ckpt, fpos_n[0], fra_n[0], mrow_new, rows_out,
-                    rd + 1, jnp.sum(mrow_new),
+                    rank, ckpt, fpos_s, newr_f, act2, mrow_new, rows_out,
+                    rd + 1, jnp.sum(act2.astype(jnp.int32)),
                 )
 
             def comp_cond(state):
@@ -414,20 +480,72 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
 
             return comp_cond, comp_body
 
-        state = (rank, ckpt, fpos0, fra0, mrow, rows_out, rd, tot0)
-        for gi, MG in enumerate(MGs):
-            next_thresh = MGs[gi + 1] if gi + 1 < len(MGs) else 0
-            if gi > 0:
-                # narrow: the pool is compacted ascending after every round,
-                # and the loop above exited with tot <= MG, so the live set
-                # is entirely inside the first MG lanes.
-                rank, ckpt, fpos, fra, mrow, rows_out, rd, tot = state
-                state = (
-                    rank, ckpt, fpos[:MG], fra[:MG], mrow, rows_out, rd, tot
-                )
-            cond, body = make_comp(MG, next_thresh)
-            state = jax.lax.while_loop(cond, body, state)
-        rank, ckpt, _, _, mrow, rows_out, rd, _ = state
+        def run_phase2(args):
+            rank, ckpt, act_s, perm_s, mrow, rows_out, rd = args
+            # Entry: compact the active set PER BLOCK in SA order (slots are
+            # rank order, so compacting by slot keeps groups contiguous
+            # ascending), then flat-gather position and rank per pool lane.
+            key = jnp.where(act_s, idx, idx | _BIG)
+            _, apos0 = jax.lax.sort((key, perm_s), num_keys=1, dimension=1)
+            off = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(mrow)])
+            tot0 = off[B]
+            apos0f = apos0.reshape(-1)
+            rankf0 = rank.reshape(-1)
+
+            MG0 = MGs[0]
+            g0 = jnp.arange(MG0, dtype=jnp.int32)
+            bq0 = jnp.clip(
+                jnp.searchsorted(off[1:], g0, side="right").astype(jnp.int32),
+                0, B - 1,
+            )
+            gidx = bq0 * cap + jnp.clip(g0 - off[bq0], 0, cap - 1)
+            live0 = g0 < tot0
+            fpos0 = jnp.where(live0, bq0 * cap + apos0f[gidx], jnp.int32(B * cap))
+            fkey0 = jnp.where(
+                live0,
+                bq0 * cap + rankf0[jnp.clip(fpos0, 0, B * cap - 1)],
+                BIGG,
+            )
+
+            state = (rank, ckpt, fpos0, fkey0, live0, mrow, rows_out, rd, tot0)
+            for gi, MG in enumerate(MGs):
+                next_thresh = MGs[gi + 1] if gi + 1 < len(MGs) else 0
+                if gi > 0:
+                    # narrow: resolved lanes ride in place during a rung, so
+                    # the LIVE lanes (<= MG by the previous rung's exit
+                    # condition) are compacted here, once per rung switch.
+                    # Ascending keys survive compaction (a subsequence of an
+                    # ascending list).
+                    rank, ckpt, fpos, fkey, act, mrow, rows_out, rd, tot = state
+                    kk = jnp.where(act & (fpos < B * cap), fkey, BIGG)
+                    fp = jnp.where(act, fpos, jnp.int32(B * cap))
+                    kk_s, fp_s = (
+                        x[0]
+                        for x in jax.lax.sort(
+                            (kk[None], fp[None]), num_keys=1, dimension=1
+                        )
+                    )
+                    fkey_n = kk_s[:MG]
+                    fpos_n = fp_s[:MG]
+                    state = (
+                        rank, ckpt, fpos_n, fkey_n, fkey_n < BIGG, mrow,
+                        rows_out, rd, tot,
+                    )
+                cond, body = make_comp(MG, next_thresh)
+                state = jax.lax.while_loop(cond, body, state)
+            rank, ckpt, _, _, _, mrow, rows_out, rd, _ = state
+            return rank, ckpt, mrow, rows_out, rd
+
+        # (A lax.cond skip for the tot0==0 case was measured 50 ms SLOWER on
+        # the always-taken path — XLA copies the big carried buffers across
+        # the cond boundary — so phase 2 runs unconditionally; its rung
+        # while_loops exit immediately when the pool is empty.)
+        rank, ckpt, mrow, rows_out, rd = run_phase2(
+            (rank, ckpt, act_s, perm_s, mrow, rows_out, rd)
+        )
+
+    if _SA_STOP == "phase2":
+        return rank, ckpt, mrow, mrow, mrow  # profiling stub (see _SA_STOP)
 
     n_rows = jnp.where(mrow > 0, rd, rows_out)
     # rank is now a permutation of [0, cap); invert via sort, carrying the

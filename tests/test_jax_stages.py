@@ -75,3 +75,59 @@ def test_pair_lcp_arbitrary_pairs():
         if a == b:
             expect = n - b  # degenerate equal pair: capped at suffix length
         assert got[k] == expect, (a, b)
+
+
+def test_suffix_array_pool_rows_path_batch():
+    """Exercise the phase-2 ROWS path (segmented pool sorts engage only at
+    rung size >= 2^17, i.e. batch*cap >= 2^20): 32 x 32 KiB repetitive
+    blocks vs the oracle SA. Data mixes long shared prefixes (deep tied
+    groups) with text-like tails so the pool stays populated for several
+    rounds (PERFORMANCE.md round-5 segmented pooled rounds)."""
+    from salz_tpu.ops.suffix_array import suffix_array_prefixes_batch
+
+    capb = 1 << 15
+    B = 32
+    rng = np.random.default_rng(7)
+    blocks = []
+    ns = []
+    base = (b"abracadabra salz suffix doubling " * 64)[: 1 << 11]
+    for b in range(B):
+        # each block: repeated shared chunk + small unique perturbations
+        reps = bytearray(base * ((capb // len(base)) + 1))
+        for _ in range(8):
+            p = int(rng.integers(0, capb - 4))
+            reps[p] = int(rng.integers(0, 256))
+        data = bytes(reps[:capb])
+        n = capb - int(rng.integers(8, 64))
+        blocks.append(np.frombuffer(data, np.uint8))
+        ns.append(n)
+    arr = jnp.asarray(np.stack(blocks))
+    sa, _, _, _, _ = suffix_array_prefixes_batch(
+        arr, jnp.asarray(np.array(ns, np.int32)), cap=capb
+    )
+    sa = np.asarray(sa)
+    for b in range(B):
+        ref = oc.suffix_array(blocks[b][: ns[b]])
+        assert np.array_equal(sa[b][: ns[b]], ref), f"block {b}"
+
+
+def test_suffix_array_pool_rows_fallback_zero_pages():
+    """Huge tied runs (all-zero pages) must trip the max-run guard and take
+    the global-sort fallback: SA still exact."""
+    from salz_tpu.ops.suffix_array import suffix_array_prefixes_batch
+
+    capb = 1 << 15
+    B = 32
+    rng = np.random.default_rng(11)
+    blocks = []
+    for b in range(B):
+        data = bytearray(rng.integers(0, 4, capb, dtype=np.uint8).tobytes())
+        data[1000:30000] = b"\x00" * 29000  # one dominant zero run
+        blocks.append(np.frombuffer(bytes(data), np.uint8))
+    arr = jnp.asarray(np.stack(blocks))
+    ns = jnp.full((B,), capb - 8, jnp.int32)
+    sa, _, _, _, _ = suffix_array_prefixes_batch(arr, ns, cap=capb)
+    sa = np.asarray(sa)
+    for b in (0, 7, 31):
+        ref = oc.suffix_array(blocks[b][: capb - 8])
+        assert np.array_equal(sa[b][: capb - 8], ref), f"block {b}"
