@@ -143,12 +143,21 @@ def main() -> None:
     results = run_all()
     log(f"first pass (incl. compile): {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    results = run_all()
-    device_dt = time.perf_counter() - t0
+    # Median of 3 steady passes: round 4's committed headline and the
+    # driver's capture disagreed by 9% on single-pass numbers (VERDICT r4
+    # weak #1); the median pins run-to-run axon/tunnel variance.
+    passes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        results = run_all()
+        passes.append(time.perf_counter() - t0)
+    device_dt = sorted(passes)[1]
     total = sum(len(b) for b in blocks) + (pad_batches * len(blocks[-1]) if pad_batches else 0)
     device_mbps = total / device_dt / 1e6
-    log(f"device: {device_mbps:.2f} MB/s ({device_dt:.2f}s for {total/1e6:.0f} MB)")
+    log(
+        f"device: {device_mbps:.2f} MB/s (median of {[round(p, 2) for p in passes]}s "
+        f"for {total/1e6:.0f} MB)"
+    )
 
     # ---- conformance: EVERY block byte-identical + roundtrip (batch bugs
     # can corrupt only blocks b > 0 — never check just the first).

@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from salz_tpu.ops.sortops import sort_rows
+
 _BIG = np.int32(1 << 26)  # np, not jnp: device-array consts cost ~24 s/lowering via axon  # sorts-last flag; ranks/positions < 2^24 <= cap
 
 _POOL_W = 8192  # pooled-round sort row width (multiple of the 1024 rung granule)
@@ -204,9 +206,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     packed16 = _pack_keys(
         [keyA, *keys_rest, keyF], [28, 27, 27, 27, 27, 9]
     )
-    sorted16 = jax.lax.sort(
-        (*packed16, idx), num_keys=len(packed16), dimension=1
-    )
+    sorted16 = sort_rows((*packed16, idx), num_keys=len(packed16))
     perm16 = sorted16[-1]
     eq = jnp.ones((B, cap - 1), jnp.bool_)
     for kk in sorted16[:-1]:
@@ -216,7 +216,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     # active = member of a non-singleton 16-byte group (run length > 1)
     nxt_head = jnp.concatenate([head_s[:, 1:], jnp.ones((B, 1), jnp.bool_)], 1)
     act16_s = ~(head_s & nxt_head)  # SA order; the invert carries no flag
-    _, rank16 = jax.lax.sort((perm16, rank_s), num_keys=1, dimension=1)
+    _, rank16 = sort_rows((perm16, rank_s), num_keys=1, unique=True)
 
     ckpt0 = jnp.broadcast_to(idx1[None, None, :], (B, R, cap))
     ckpt0 = jax.lax.dynamic_update_slice(
@@ -279,9 +279,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
             )
         else:
             keys = [rank, r2, r3, r4]
-        *ks, perm = jax.lax.sort(
-            (*keys, idx), num_keys=len(keys), dimension=1
-        )
+        *ks, perm = sort_rows((*keys, idx), num_keys=len(keys))
         diff = jnp.zeros((B, cap - 1), jnp.bool_)
         for kk in ks:
             diff = diff | (kk[:, 1:] != kk[:, :-1])
@@ -293,7 +291,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
         # TPU): sorting by perm lands every new rank at its text position.
         # The active flag stays in SA order (the count and the phase-2
         # extraction both work there) — one payload fewer per round.
-        _, new_rank = jax.lax.sort((perm, new_rank_s), num_keys=1, dimension=1)
+        _, new_rank = sort_rows((perm, new_rank_s), num_keys=1, unique=True)
         ckpt = jax.lax.dynamic_update_slice(
             ckpt, new_rank[:, None, :], (0, rd, 0)
         )
@@ -382,8 +380,8 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
         def _row_sort(ops):
             return [
                 x[0]
-                for x in jax.lax.sort(
-                    tuple(x[None] for x in ops), num_keys=4, dimension=1
+                for x in sort_rows(
+                    tuple(x[None] for x in ops), num_keys=4
                 )
             ]
 
@@ -486,7 +484,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
             # rank order, so compacting by slot keeps groups contiguous
             # ascending), then flat-gather position and rank per pool lane.
             key = jnp.where(act_s, idx, idx | _BIG)
-            _, apos0 = jax.lax.sort((key, perm_s), num_keys=1, dimension=1)
+            _, apos0 = sort_rows((key, perm_s), num_keys=1, unique=True)
             off = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(mrow)])
             tot0 = off[B]
             apos0f = apos0.reshape(-1)
@@ -521,9 +519,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
                     fp = jnp.where(act, fpos, jnp.int32(B * cap))
                     kk_s, fp_s = (
                         x[0]
-                        for x in jax.lax.sort(
-                            (kk[None], fp[None]), num_keys=1, dimension=1
-                        )
+                        for x in sort_rows((kk[None], fp[None]), num_keys=1)
                     )
                     fkey_n = kk_s[:MG]
                     fpos_n = fp_s[:MG]
@@ -551,7 +547,7 @@ def suffix_array_prefixes_batch(blocks: jax.Array, ns: jax.Array, *, cap: int):
     # rank is now a permutation of [0, cap); invert via sort, carrying the
     # packed 32-byte prefixes into slot order as payloads (sort payloads are
     # far cheaper than the equivalent post-hoc gathers).
-    sorted_out = jax.lax.sort((rank, idx, *packs), num_keys=1, dimension=1)
+    sorted_out = sort_rows((rank, idx, *packs), num_keys=1, unique=True)
     sa = sorted_out[1]
     t32 = jnp.stack(packs[:4], axis=1)
     p32 = jnp.stack(sorted_out[2:], axis=1)

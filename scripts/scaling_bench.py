@@ -138,12 +138,19 @@ def main() -> int:
         return worker(args)
 
     results = []
+    skipped = []
     base = None
     ncpu = os.cpu_count() or 1
     for n in [int(x) for x in args.procs.split(",")]:
         if n > ncpu:
             print(f"N={n}: skipped (only {ncpu} cores; one pinned core "
                   "per process)", flush=True)
+            skipped.append({
+                "N": n,
+                "reason": f"host has {ncpu} cores; one pinned core per "
+                          "process, so N>{0} would measure timesharing, "
+                          "not runtime scaling".format(ncpu),
+            })
             continue
         try:
             r = run_n(n, args)
@@ -161,6 +168,7 @@ def main() -> int:
         "file": args.file, "level": args.level, "batch": args.batch,
         "platform": "cpu (1 pinned core per process)",
         "results": results,
+        "skipped": skipped,
     }
     if args.out:
         with open(args.out, "w") as f:
