@@ -89,6 +89,29 @@ def _stage_mid(sa, ckpt, n_levels, t32, p32, ns, *, cap: int):
     return psv_offs, psv_len, nsv_offs, nsv_len
 
 
+@functools.lru_cache(maxsize=None)
+def _staged_fns(cap: int):
+    """Per-cap jitted stage closures with the static cap folded in —
+    exportable as pure functions of their array arguments (aotstore)."""
+    sa = jax.jit(lambda b, l: _stage_sa(b, l, cap=cap))
+    mid = jax.jit(
+        lambda s, c, n_lv, t, p, ns: _stage_mid(s, c, n_lv, t, p, ns, cap=cap)
+    )
+    chunk = min(512, cap)
+
+    def _parse(po, pl_, no, nl_, ns):
+        offs, length, _ = optimal_parse_chunked_batch(
+            po, pl_, no, nl_, ns, cap=cap, chunk=chunk
+        )
+        return offs, length
+
+    parse = jax.jit(_parse)
+    emitf = jax.jit(
+        lambda b, l, o, ln: emit_stream_batch(b, l, o, ln, cap=cap)
+    )
+    return sa, mid, parse, emitf
+
+
 def encode_blocks_device_staged(
     blocks, block_lens, *, cap: int, parse: str = "chunked"
 ):
@@ -102,6 +125,26 @@ def encode_blocks_device_staged(
     so the extra host->device call boundaries hide behind the ~1 s of
     device compute per batch. Use the fused entry point inside jit/shard_map
     contexts (this one is host-driven on purpose)."""
+    host_driven = not isinstance(blocks, jax.core.Tracer)
+    if host_driven and parse == "chunked":
+        # AOT store: each stage round-trips through jax.export so later
+        # processes skip the 20-40 s Python re-trace (utils/aotstore.py).
+        from salz_tpu.utils.aotstore import cached_call
+
+        fns = _staged_fns(cap)
+        ns, sa, ckpt, n_levels, t32, p32 = cached_call(
+            f"sa-c{cap}", fns[0], blocks, block_lens
+        )
+        psv_offs, psv_len, nsv_offs, nsv_len = cached_call(
+            f"mid-c{cap}", fns[1], sa, ckpt, n_levels, t32, p32, ns
+        )
+        offs, length = cached_call(
+            f"parse-c{cap}", fns[2], psv_offs, psv_len, nsv_offs, nsv_len, ns
+        )
+        return cached_call(
+            f"emit-c{cap}", fns[3], blocks, block_lens, offs, length
+        )
+
     ns, sa, ckpt, n_levels, t32, p32 = _stage_sa(blocks, block_lens, cap=cap)
     psv_offs, psv_len, nsv_offs, nsv_len = _stage_mid(
         sa, ckpt, n_levels, t32, p32, ns, cap=cap

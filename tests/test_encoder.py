@@ -95,3 +95,40 @@ def test_batch_block_encoder_rejects_short_blocks():
     enc = BatchBlockEncoder(1024, batch=2)
     with pytest.raises(ValueError):
         enc.encode_many([b"ok-block" * 4, b"abc"])
+
+
+def test_aot_store_hit_path_identical_stream(tmp_path, monkeypatch):
+    """The deserialized jax.export artifact (trace-skipping hit path) must
+    produce byte-identical segments to the freshly traced program."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from salz_tpu.ops.encoder import encode_blocks_device_staged
+    from salz_tpu.utils import aotstore
+
+    monkeypatch.setattr(
+        aotstore, "_store_dir", lambda: tmp_path, raising=True
+    )
+    cap = 4096
+    data = (b"aot store roundtrip " * 512)[:cap]
+    blocks = jnp.asarray(
+        np.frombuffer(data * 2, np.uint8).reshape(2, cap)
+    )
+    lens = jnp.full((2,), cap, jnp.int32)
+    out1 = encode_blocks_device_staged(blocks, lens, cap=cap)
+    segs1 = [
+        bytes(np.asarray(out1[0])[j][: int(np.asarray(out1[1])[j])])
+        for j in range(2)
+    ]
+    assert glob.glob(str(tmp_path / "*.bin")), "no artifacts exported"
+    # Drop the in-memory exports so the next call exercises deserialization.
+    aotstore._EXPORTS.clear()
+    out2 = encode_blocks_device_staged(blocks, lens, cap=cap)
+    segs2 = [
+        bytes(np.asarray(out2[0])[j][: int(np.asarray(out2[1])[j])])
+        for j in range(2)
+    ]
+    assert segs1 == segs2
+    ref = oc.encode_block(data)
+    assert segs1[0] == ref
