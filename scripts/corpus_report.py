@@ -4,7 +4,13 @@
 Usage:
   python scripts/bench_sweep.py --conform --levels 0-9 corpora/*.bin \
       | tee corpus_sweep.jsonl
-  python scripts/corpus_report.py corpus_sweep.jsonl CORPUS_RESULTS.md
+  python scripts/corpus_report.py corpus_sweep.jsonl CORPUS_RESULTS.md \
+      [native_sweep.jsonl]
+
+The optional third argument is a bench_sweep run of the native scalar
+engine on the same corpora; its compress MB/s appears as the per-row
+baseline with a vs-native column, plus first-pass (compile-inclusive)
+seconds for the jax engine.
 """
 
 from __future__ import annotations
@@ -15,6 +21,16 @@ import sys
 
 def main() -> int:
     src, dst = sys.argv[1], sys.argv[2]
+    native = {}
+    if len(sys.argv) > 3:
+        with open(sys.argv[3]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if not rec.get("aggregate") and "level" in rec:
+                    native[(rec["file"], rec["level"])] = rec
     rows = []
     agg = None
     with open(src) as f:
@@ -48,19 +64,33 @@ def main() -> int:
         out.append(f"## {fname}")
         out.append("")
         out.append(
-            "| level | ratio | compress MB/s | decompress MB/s | roundtrip "
-            "| conform |"
+            "| level | ratio | compress MB/s | native MB/s | vs native | "
+            "first pass s | decompress MB/s | roundtrip | conform |"
         )
-        out.append("|---|---|---|---|---|---|")
+        out.append("|---|---|---|---|---|---|---|---|---|")
         for r in sorted(by_file[fname], key=lambda r: r.get("level", -1)):
             if "error" in r:
                 out.append(
-                    f"| {r['level']} | — | — | — | ERROR: {r['error']} | — |"
+                    f"| {r['level']} | — | — | — | — | — | — | "
+                    f"ERROR: {r['error']} | — |"
                 )
                 continue
+            nat = native.get((r["file"], r["level"]))
+            nat_s = f"{nat['compress_MB_s']:.2f}" if nat else "—"
+            vs = (
+                f"{r['compress_MB_s'] / nat['compress_MB_s']:.2f}x"
+                if nat
+                else "—"
+            )
+            fp = (
+                f"{r['first_compress_s']:.0f}"
+                if r.get("first_compress_s") is not None
+                else "—"
+            )
             out.append(
                 f"| {r['level']} | {r['ratio']:.3f} | "
-                f"{r['compress_MB_s']:.2f} | {r['decompress_MB_s']:.1f} | "
+                f"{r['compress_MB_s']:.2f} | {nat_s} | {vs} | {fp} | "
+                f"{r['decompress_MB_s']:.1f} | "
                 f"{r['roundtrip']} | {r.get('conform', '—')} |"
             )
         out.append("")
