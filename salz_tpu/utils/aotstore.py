@@ -28,7 +28,14 @@ import hashlib
 import os
 import pathlib
 
-_ENABLED = os.environ.get("SALZ_AOT", "1") != "0"
+# OPT-IN (SALZ_AOT=1): measured on the axon TPU backend, Exported.call at
+# the (8, 1 MiB) level-5 shapes ran ~100x slower in the container loop than
+# the plain jitted path (sweep row text L5: 0.03 MB/s steady) while levels
+# 0-4 were unaffected — the deserialized-program call path does not hit the
+# same executable fast path at large program sizes. Until that is
+# root-caused, the store only serves explicit opt-in (CLI cold-latency
+# experiments); the default path re-traces as before.
+_ENABLED = os.environ.get("SALZ_AOT", "0") == "1"
 
 _EPOCH: str | None = None
 _EXPORTS: dict[str, object] = {}

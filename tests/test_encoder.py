@@ -110,6 +110,7 @@ def test_aot_store_hit_path_identical_stream(tmp_path, monkeypatch):
     monkeypatch.setattr(
         aotstore, "_store_dir", lambda: tmp_path, raising=True
     )
+    monkeypatch.setattr(aotstore, "_ENABLED", True, raising=True)
     cap = 4096
     data = (b"aot store roundtrip " * 512)[:cap]
     blocks = jnp.asarray(
