@@ -210,7 +210,12 @@ def _compress_segments(
             write_segment(out, codec.encode_block(block, dst_cap))
             continue
         pending.append(block)
-        if len(pending) >= max(codec.batch, 1):
+        # Hold FOUR device batches before flushing (not one): the batch
+        # encoder issues all of a flush's groups asynchronously and overlaps
+        # their uploads/compute/downloads (encoder._encode_class), so a
+        # multi-batch flush pipelines where a per-batch flush serialized
+        # ~0.45 s of axon-tunnel transfer against each ~1 s of compute.
+        if len(pending) >= 4 * max(codec.batch, 1):
             flush(pending)
             pending = []
     flush(pending)
