@@ -233,7 +233,11 @@ def _device_decode_subprocess(
     import tempfile
 
     n = min(4, len(segs))
-    timeout_s = int(os.environ.get("SALZ_BENCH_DDEC_TIMEOUT", "900"))
+    # 300 s default: on this machine loading cached executables through the
+    # ~40 MB/s axon tunnel alone costs the child minutes (PERFORMANCE.md
+    # round-5 finding 10); the metric is optional and omitted on timeout —
+    # it must never put the headline capture's wall-clock budget at risk.
+    timeout_s = int(os.environ.get("SALZ_BENCH_DDEC_TIMEOUT", "300"))
     with tempfile.TemporaryDirectory() as td:
         data = os.path.join(td, "segs.npz")
         np.savez(
